@@ -1,0 +1,225 @@
+"""Z-buffer point-splat rasterization, TPU-native.
+
+This replaces both of the reference's rasterizers — the OpenGL point
+renderer (``READ/gl/programs.py``, ``READ/gl/render.py``) and the CUDA
+``pcpr`` kernel (``MyRender/CloudProjection/point_render.cu``) — with one
+functional, deterministic formulation that XLA compiles for TPU:
+
+1. project all N points by the composed world->clip matrix and divide by w
+   (parity: ``point_render.cu:108-122,137-143``);
+2. clip to the NDC cube [-1,1]^3 and map to pixels
+   ``u = w(x+1)/2, v = h(1-y)/2``, depth ``(z+1)/2``;
+3. per pixel keep the minimum depth and the winning point index via two
+   scatter-min passes (depth first, then index among depth winners).
+
+Differences from the reference, by design:
+- **Deterministic**: the CUDA kernel breaks depth ties by racey last-write
+  (``point_render.cu:148-166``); we break ties by the smallest point index.
+- **Empty pixels are -1**, not 0: the reference's index map uses 0 both for
+  "no point" and for point id 0 (comment at ``point_render.cu:158``). The
+  descriptor sampler masks empties explicitly instead of stealing point 0's
+  descriptor.
+- Splat sizes > 1px (the GL tree's ``p``/``ps`` point-size modes,
+  ``READ/gl/programs.py:183-192``) are square neighborhood scatters here.
+- No host round-trips: outputs stay on device (the reference copies to CPU
+  every call, ``point_render.cu:196-197``).
+
+All functions are jit/vmap/shard_map friendly: static shapes, no python
+control flow on traced values.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "project_points",
+    "rasterize",
+    "rasterize_batch",
+    "rasterize_pyramid",
+    "rasterize_reference",
+]
+
+# Sentinel depth for invalid points; any real NDC depth lies in [0, 1].
+_FAR = jnp.float32(2.0)
+
+
+def project_points(xyz: jax.Array, total_m: jax.Array):
+    """Project world points to NDC.
+
+    Args:
+      xyz: ``[N, 3]`` float32 world positions.
+      total_m: ``[4, 4]`` row-major world->clip matrix
+        (``proj @ inv(view)``, see ``scene.camera.total_matrix``).
+
+    Returns:
+      ``(ndc, valid)``: ``ndc [N, 3]`` post-divide positions and a boolean
+      ``valid [N]`` mask of points inside the NDC cube (parity with the
+      clip test at ``point_render.cu:139``).
+    """
+    xyz = xyz.astype(jnp.float32)
+    m = total_m.astype(jnp.float32)
+    # Elementwise expansion rather than a [N,3]x[3,4] matmul: keeps the
+    # f32 rounding identical whether traced standalone, vmapped over the
+    # batch, or inlined into a larger program (a matmul's accumulation
+    # order may differ per call pattern and shift boundary pixels).
+    x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    clip = jnp.stack(
+        [m[i, 0] * x + m[i, 1] * y + m[i, 2] * z + m[i, 3]
+         for i in range(3)], axis=-1)
+    w = m[3, 0] * x + m[3, 1] * y + m[3, 2] * z + m[3, 3]
+    # The CUDA kernel divides unconditionally (point_render.cu:120); points
+    # behind the camera flip sign and are rejected by the cube test below.
+    ndc = clip / w[:, None]
+    valid = jnp.all(jnp.abs(ndc) <= 1.0, axis=-1)
+    # w <= 0 means the point is at or behind the eye plane; after the
+    # divide such points can land inside the cube spuriously, so reject.
+    valid &= w > 0
+    return ndc, valid
+
+
+def _pixel_ids(ndc: jax.Array, valid: jax.Array, h: int, w: int):
+    """NDC -> flat pixel ids (invalid -> h*w dump slot) and depths."""
+    u = jnp.floor(w * (ndc[:, 0] + 1.0) * 0.5).astype(jnp.int32)
+    v = jnp.floor(h * (1.0 - ndc[:, 1]) * 0.5).astype(jnp.int32)
+    depth = (ndc[:, 2] + 1.0) * 0.5
+    inside = valid & (u >= 0) & (u < w) & (v >= 0) & (v < h)
+    pix = jnp.where(inside, v * w + u, h * w)
+    depth = jnp.where(inside, depth, _FAR)
+    return pix, depth
+
+
+def _zbuffer(pix: jax.Array, depth: jax.Array, n_pixels: int):
+    """Deterministic min-depth scatter with smallest-index tie-break.
+
+    Returns ``(index [n_pixels] int32 with -1 empty, depth [n_pixels])``.
+    """
+    n = pix.shape[0]
+    ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    dbuf = jnp.full((n_pixels + 1,), _FAR, jnp.float32).at[pix].min(
+        depth, mode="drop")
+    # Winners: points whose depth equals the per-pixel min.
+    win = depth <= dbuf[pix]
+    ibuf = jnp.full((n_pixels + 1,), jnp.iinfo(jnp.int32).max,
+                    jnp.int32).at[jnp.where(win, pix, n_pixels)].min(
+                        ids, mode="drop")
+    index = jnp.where(ibuf == jnp.iinfo(jnp.int32).max, -1, ibuf)
+    dout = jnp.where(dbuf >= _FAR, 0.0, dbuf)
+    return index[:n_pixels], dout[:n_pixels]
+
+
+def rasterize(xyz: jax.Array, total_m: jax.Array, h: int, w: int,
+              point_radius: int = 0):
+    """Rasterize one view: ``(index [h,w] int32, depth [h,w] f32)``.
+
+    ``point_radius`` r>0 splats each point over a (2r+1)^2 pixel square
+    (GL point-size semantics, ``READ/gl/programs.py:183-192``); each
+    covered pixel still depth-tests independently.
+    """
+    ndc, valid = project_points(xyz, total_m)
+    if point_radius == 0:
+        pix, depth = _pixel_ids(ndc, valid, h, w)
+        index, dbuf = _zbuffer(pix, depth, h * w)
+        return index.reshape(h, w), dbuf.reshape(h, w)
+
+    # Splat: offset the pixel id by (dy, dx); accumulate min over all
+    # offsets with a single combined scatter per offset.
+    u = jnp.floor(w * (ndc[:, 0] + 1.0) * 0.5).astype(jnp.int32)
+    v = jnp.floor(h * (1.0 - ndc[:, 1]) * 0.5).astype(jnp.int32)
+    depth0 = (ndc[:, 2] + 1.0) * 0.5
+    n = xyz.shape[0]
+    ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    dbuf = jnp.full((h * w + 1,), _FAR, jnp.float32)
+    offsets = [(dy, dx)
+               for dy in range(-point_radius, point_radius + 1)
+               for dx in range(-point_radius, point_radius + 1)]
+    pix_all, dep_all = [], []
+    for dy, dx in offsets:
+        uu, vv = u + dx, v + dy
+        inside = valid & (uu >= 0) & (uu < w) & (vv >= 0) & (vv < h)
+        pix_all.append(jnp.where(inside, vv * w + uu, h * w))
+        dep_all.append(jnp.where(inside, depth0, _FAR))
+    pix = jnp.concatenate(pix_all)
+    dep = jnp.concatenate(dep_all)
+    dbuf = dbuf.at[pix].min(dep, mode="drop")
+    win = dep <= dbuf[pix]
+    ids_rep = jnp.tile(ids, len(offsets))
+    ibuf = jnp.full((h * w + 1,), jnp.iinfo(jnp.int32).max, jnp.int32)
+    ibuf = ibuf.at[jnp.where(win, pix, h * w)].min(ids_rep, mode="drop")
+    index = jnp.where(ibuf == jnp.iinfo(jnp.int32).max, -1, ibuf)
+    dout = jnp.where(dbuf >= _FAR, 0.0, dbuf)
+    return index[:h * w].reshape(h, w), dout[:h * w].reshape(h, w)
+
+
+def rasterize_batch(xyz: jax.Array, total_m: jax.Array, h: int, w: int,
+                    point_radius: int = 0):
+    """Batch of views: ``total_m [B,4,4]`` -> ``(index [B,h,w], depth)``.
+
+    Replaces the host loop over the batch at ``point_render.cu:186-192``
+    with a vmap (one fused program, no per-view launches).
+    """
+    f = functools.partial(rasterize, h=h, w=w, point_radius=point_radius)
+    return jax.vmap(f, in_axes=(None, 0))(xyz, total_m)
+
+
+def rasterize_pyramid(xyz: jax.Array, total_m: jax.Array,
+                      target_shape: Sequence[int], num_scales: int = 5,
+                      point_radius: int = 0):
+    """Multi-scale pyramid: scale i renders at ``target/2^i``.
+
+    Mirrors ``MyRender.render`` (``src/READ/gl/myrender.py:32-43``): scale
+    comes from list position; one projection pass is shared by all scales.
+
+    Args:
+      target_shape: ``(h, w)`` of scale 0.
+
+    Returns:
+      list of ``(index [B,hi,wi] int32, depth [B,hi,wi] f32)`` per scale.
+    """
+    h0, w0 = target_shape
+    out = []
+    for i in range(num_scales):
+        h, w = h0 // (2 ** i), w0 // (2 ** i)
+        out.append(rasterize_batch(xyz, total_m, h, w, point_radius))
+    return out
+
+
+def zbuffer_reference(ndc: np.ndarray, valid: np.ndarray, h: int,
+                      w: int) -> tuple:
+    """Sequential z-buffer oracle over precomputed NDC points (same
+    semantics as :func:`rasterize`: min depth, smallest index wins ties,
+    -1 empty). Used by tests to validate the scatter logic exactly."""
+    index = np.full((h, w), -1, np.int32)
+    depth = np.zeros((h, w), np.float64)
+    for i in range(ndc.shape[0]):
+        if not valid[i]:
+            continue
+        x, y, z = ndc[i]
+        u = int(np.floor(w * (x + 1) * 0.5))
+        v = int(np.floor(h * (1 - y) * 0.5))
+        if not (0 <= u < w and 0 <= v < h):
+            continue
+        d = (z + 1) * 0.5
+        if index[v, u] < 0 or d < depth[v, u]:
+            index[v, u] = i
+            depth[v, u] = d
+    return index, depth.astype(np.float32)
+
+
+def rasterize_reference(xyz: np.ndarray, total_m: np.ndarray, h: int,
+                        w: int) -> tuple:
+    """Full sequential numpy oracle (f64 projection + z-buffer)."""
+    xyz = np.asarray(xyz, np.float64)
+    m = np.asarray(total_m, np.float64)
+    n = xyz.shape[0]
+    hom = np.concatenate([xyz, np.ones((n, 1))], axis=1)
+    clip = hom @ m.T
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ndc = clip[:, :3] / clip[:, 3:4]
+    valid = (clip[:, 3] > 0) & np.all(np.abs(ndc) <= 1.0, axis=1)
+    return zbuffer_reference(ndc, valid, h, w)

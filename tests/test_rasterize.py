@@ -1,0 +1,128 @@
+"""Rasterizer correctness: XLA z-buffer vs the sequential numpy oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from read_tpu.ops import rasterize as R
+from read_tpu.scene import camera
+
+
+def _random_scene(rng, n=500, w=64, h=48):
+    xyz = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+    xyz[:, 2] -= 5.0  # in front of a GL camera at origin looking down -z
+    K = np.array([[60.0, 0, w / 2], [0, 60.0, h / 2], [0, 0, 1]])
+    P = camera.gl_projection(K, (w, h), znear=0.1, zfar=100.0)
+    m = camera.total_matrix(P, np.eye(4)).astype(np.float32)
+    return xyz, m
+
+
+def test_zbuffer_matches_oracle_exactly(rng):
+    # Share the (f32, device) projection between both sides so this checks
+    # the scatter-min winner logic bit-exactly, with no boundary rounding
+    # ambiguity between f32 and f64 projection.
+    w, h = 64, 48
+    xyz, m = _random_scene(rng, 800, w, h)
+    ndc, valid = jax.jit(R.project_points)(xyz, m)
+    idx_ref, dep_ref = R.zbuffer_reference(np.asarray(ndc),
+                                           np.asarray(valid), h, w)
+    idx, dep = jax.jit(R.rasterize, static_argnums=(2, 3))(xyz, m, h, w)
+    np.testing.assert_array_equal(np.asarray(idx), idx_ref)
+    np.testing.assert_allclose(np.asarray(dep), dep_ref, atol=1e-6)
+
+
+def test_end_to_end_close_to_f64_oracle(rng):
+    # f64 oracle vs f32 device projection: only pixel-boundary-straddling
+    # points may disagree; require near-total agreement.
+    w, h = 64, 48
+    xyz, m = _random_scene(rng, 800, w, h)
+    idx_ref, _ = R.rasterize_reference(xyz, m, h, w)
+    idx, _ = jax.jit(R.rasterize, static_argnums=(2, 3))(xyz, m, h, w)
+    agree = (np.asarray(idx) == idx_ref).mean()
+    assert agree > 0.97, agree
+
+
+def test_empty_pixels_are_minus_one(rng):
+    xyz, m = _random_scene(rng, 3, 32, 32)
+    idx, dep = R.rasterize(xyz, m, 32, 32)
+    idx = np.asarray(idx)
+    assert (idx == -1).sum() >= 32 * 32 - 3
+    assert np.asarray(dep)[idx == -1].max() == 0.0
+
+
+def test_occlusion_nearest_wins():
+    # Two points projecting to the same pixel; the nearer one must win.
+    xyz = np.array([[0, 0, -10.0], [0, 0, -5.0]], np.float32)
+    K = np.array([[30.0, 0, 16.0], [0, 30.0, 16.0], [0, 0, 1]])
+    P = camera.gl_projection(K, (32, 32), znear=0.1, zfar=100.0)
+    m = camera.total_matrix(P, np.eye(4)).astype(np.float32)
+    idx, dep = R.rasterize(xyz, m, 32, 32)
+    winners = np.asarray(idx)[np.asarray(idx) >= 0]
+    assert list(winners) == [1]
+
+
+def test_tie_break_smallest_index():
+    xyz = np.array([[0, 0, -5.0], [0, 0, -5.0], [0, 0, -5.0]], np.float32)
+    K = np.array([[30.0, 0, 16.0], [0, 30.0, 16.0], [0, 0, 1]])
+    P = camera.gl_projection(K, (32, 32), znear=0.1, zfar=100.0)
+    m = camera.total_matrix(P, np.eye(4)).astype(np.float32)
+    idx, _ = R.rasterize(xyz, m, 32, 32)
+    winners = np.asarray(idx)[np.asarray(idx) >= 0]
+    assert list(winners) == [0]
+
+
+def test_behind_camera_rejected():
+    xyz = np.array([[0, 0, 5.0]], np.float32)  # behind (GL forward is -z)
+    K = np.array([[30.0, 0, 16.0], [0, 30.0, 16.0], [0, 0, 1]])
+    P = camera.gl_projection(K, (32, 32), znear=0.1, zfar=100.0)
+    m = camera.total_matrix(P, np.eye(4)).astype(np.float32)
+    idx, _ = R.rasterize(xyz, m, 32, 32)
+    assert (np.asarray(idx) == -1).all()
+
+
+def test_batch_matches_loop(rng):
+    w, h = 40, 32
+    xyz, _ = _random_scene(rng, 300, w, h)
+    K = np.array([[40.0, 0, w / 2], [0, 40.0, h / 2], [0, 0, 1]])
+    P = camera.gl_projection(K, (w, h), znear=0.1, zfar=100.0)
+    views = []
+    for eye in ([0, 0, 0], [0.5, 0, 0], [0, 0.5, 0.2]):
+        v = np.eye(4)
+        v[:3, 3] = eye
+        views.append(camera.total_matrix(P, v))
+    ms = np.stack(views).astype(np.float32)
+    idx_b, dep_b = R.rasterize_batch(xyz, ms, h, w)
+    for b in range(3):
+        ndc, valid = jax.jit(R.project_points)(xyz, ms[b])
+        idx_ref, dep_ref = R.zbuffer_reference(np.asarray(ndc),
+                                               np.asarray(valid), h, w)
+        np.testing.assert_array_equal(np.asarray(idx_b[b]), idx_ref)
+        np.testing.assert_allclose(np.asarray(dep_b[b]), dep_ref, atol=1e-6)
+
+
+def test_pyramid_shapes(rng):
+    xyz, m = _random_scene(rng, 200, 64, 32)
+    levels = R.rasterize_pyramid(xyz, m[None], (32, 64), num_scales=5)
+    shapes = [tuple(ix.shape) for ix, _ in levels]
+    assert shapes == [(1, 32, 64), (1, 16, 32), (1, 8, 16), (1, 4, 8),
+                      (1, 2, 4)]
+
+
+def test_splat_radius_covers_square():
+    xyz = np.array([[0, 0, -5.0]], np.float32)
+    K = np.array([[30.0, 0, 16.0], [0, 30.0, 16.0], [0, 0, 1]])
+    P = camera.gl_projection(K, (32, 32), znear=0.1, zfar=100.0)
+    m = camera.total_matrix(P, np.eye(4)).astype(np.float32)
+    idx1, _ = R.rasterize(xyz, m, 32, 32, point_radius=0)
+    idx3, _ = R.rasterize(xyz, m, 32, 32, point_radius=1)
+    assert (np.asarray(idx1) >= 0).sum() == 1
+    assert (np.asarray(idx3) >= 0).sum() == 9
+
+
+def test_jit_under_vmap_grad_free(rng):
+    # The rasterizer must be traceable under jit+vmap with static shapes.
+    xyz, m = _random_scene(rng, 100, 16, 16)
+    f = jax.jit(lambda p, mm: R.rasterize_batch(p, mm, 16, 16))
+    idx, dep = f(xyz, np.stack([m, m]))
+    assert idx.shape == (2, 16, 16) and dep.dtype == jnp.float32
