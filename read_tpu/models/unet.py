@@ -1,0 +1,256 @@
+"""The MIMO-UNet-style refinement network, in flax.linen (NHWC).
+
+Architecture parity with the reference renderer net
+(``src/READ/models/unet.py:121-280``; the class is called "UNet" there but
+the topology is MIMO-UNet, acknowledged at reference ``README.md:137-138``):
+
+- ``BasicConv`` is a *gated* conv: ``norm(act(conv_f(x)) * sigmoid(conv_m(x)))``
+  with BatchNorm and ELU (``unet.py:10-53``). The reference stores a
+  ``padding_mode='reflect'`` attribute but never passes it to nn.Conv2d,
+  so the effective padding is zeros — we reproduce zero padding.
+- 3-level encoder + bottleneck; downscaled inputs x_2, x_4, x_8 enter via
+  ``SCM`` shallow modules and are fused by ``FAM`` (mul + conv residual).
+- ``AFF`` cross-scale fusion concatenates 4 resolutions at each level
+  (nearest-neighbor resampling, parity with ``F.interpolate`` defaults).
+- Decoder "upsampling" steps are stride-2 k=4 convs followed by a x4
+  bilinear upsample (net x2), then skip-concat + 1x1 conv + DBlock
+  (``unet.py:255-280``).
+- Output ``{'im_out': z}`` (``src/unet.py:280``); optional segmentation
+  head realizes the src tree's latent seg capability
+  (``src/READ/models/compose.py:39-40``).
+
+Defaults: 8 input channels, 3 output, base_channel=32, num_res=4
+(``unet.py:130-141``). Input spatial dims must be divisible by 32.
+
+TPU notes: NHWC layout; a ``dtype`` knob runs conv math in bfloat16 while
+keeping f32 params and BatchNorm statistics.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+__all__ = ["BasicConv", "ResBlock", "SCM", "FAM", "AFF", "EBlock",
+           "DBlock", "UNet"]
+
+
+def _nearest_down(x: jax.Array, factor: int) -> jax.Array:
+    """torch ``F.interpolate(scale_factor=1/f)`` nearest == strided pick
+    of the top-left sample of each block (src index = floor(dst*f))."""
+    return x[:, ::factor, ::factor, :]
+
+
+def _nearest_up(x: jax.Array, factor: int) -> jax.Array:
+    """torch nearest upsample == repeat each pixel f times per axis."""
+    x = jnp.repeat(x, factor, axis=1)
+    return jnp.repeat(x, factor, axis=2)
+
+
+def _bilinear_up4(x: jax.Array) -> jax.Array:
+    """``nn.Upsample(scale_factor=4, mode='bilinear')`` equivalent
+    (align_corners=False == half-pixel centers, jax.image default)."""
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, h * 4, w * 4, c), method="bilinear")
+
+
+class BasicConv(nn.Module):
+    """Gated conv block (``src/READ/models/unet.py:10-42``)."""
+    out_channels: int
+    kernel_size: int = 3
+    stride: int = 1
+    relu: bool = True
+    dilation: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        p = int(self.dilation * (self.kernel_size - 1) / 2)
+        kw = dict(
+            features=self.out_channels,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            kernel_dilation=(self.dilation, self.dilation),
+            padding=[(p, p), (p, p)],
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )
+        f = nn.Conv(name="conv_f", **kw)(x.astype(self.dtype))
+        if self.relu:
+            f = nn.elu(f)
+        m = jax.nn.sigmoid(nn.Conv(name="conv_m", **kw)(x.astype(self.dtype)))
+        out = f * m
+        out = nn.BatchNorm(
+            name="norm", use_running_average=not train, momentum=0.9,
+            epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32,
+        )(out.astype(jnp.float32))
+        return out.astype(self.dtype)
+
+
+class ResBlock(nn.Module):
+    """Two gated convs with a residual (``unet.py:44-53``)."""
+    channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = BasicConv(self.channels, 3, 1, relu=True, dtype=self.dtype)(
+            x, train)
+        y = BasicConv(self.channels, 3, 1, relu=False, dtype=self.dtype)(
+            y, train)
+        return y + x
+
+
+class EBlock(nn.Module):
+    """num_res ResBlocks (``unet.py:73-82``)."""
+    channels: int
+    num_res: int = 8
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for _ in range(self.num_res):
+            x = ResBlock(self.channels, dtype=self.dtype)(x, train)
+        return x
+
+
+class DBlock(EBlock):
+    """Same body as EBlock (``unet.py:85-93``)."""
+
+
+class SCM(nn.Module):
+    """Shallow conv module for multi-scale inputs (``unet.py:55-70``)."""
+    out_plane: int
+    in_channels: int = 8
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        op = self.out_plane
+        y = BasicConv(op // 4, 3, 1, relu=True, dtype=self.dtype)(x, train)
+        y = BasicConv(op // 2, 1, 1, relu=True, dtype=self.dtype)(y, train)
+        y = BasicConv(op // 2, 3, 1, relu=True, dtype=self.dtype)(y, train)
+        y = BasicConv(op - self.in_channels, 1, 1, relu=True,
+                      dtype=self.dtype)(y, train)
+        y = jnp.concatenate([x, y], axis=-1)
+        return BasicConv(op, 1, 1, relu=False, dtype=self.dtype)(y, train)
+
+
+class FAM(nn.Module):
+    """Feature attention fusion: x1 + conv(x1*x2) (``unet.py:96-104``)."""
+    channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x1, x2, train: bool = False):
+        x = x1 * x2
+        return x1 + BasicConv(self.channels, 3, 1, relu=False,
+                              dtype=self.dtype)(x, train)
+
+
+class AFF(nn.Module):
+    """Cross-scale fusion of 4 resampled feature maps (``unet.py:106-115``)."""
+    out_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x1, x2, x3, x4, train: bool = False):
+        x = jnp.concatenate([x1, x2, x3, x4], axis=-1)
+        x = BasicConv(self.out_channels, 1, 1, relu=True,
+                      dtype=self.dtype)(x, train)
+        return BasicConv(self.out_channels, 3, 1, relu=False,
+                         dtype=self.dtype)(x, train)
+
+
+class UNet(nn.Module):
+    """MIMO-UNet renderer (``src/READ/models/unet.py:121-280``).
+
+    Call: ``net(x, x_2, x_4, x_8, train=...)`` with NHWC descriptor maps at
+    full, 1/2, 1/4, 1/8 resolution (the net consumes 4 of the 5 rendered
+    scales, parity with ``unet.py:209-212``). Returns ``{'im_out': rgb}``
+    (+ ``'seg_out'`` when ``num_classes`` is set).
+    """
+    num_input_channels: int = 8
+    num_output_channels: int = 3
+    base_channel: int = 32
+    num_res: int = 4
+    num_classes: Optional[int] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, x_2, x_4, x_8, train: bool = False):
+        bc = self.base_channel
+        dt = self.dtype
+        cin = self.num_input_channels
+
+        z2 = SCM(bc * 2, in_channels=cin, dtype=dt, name="SCM2")(x_2, train)
+        z4 = SCM(bc * 4, in_channels=cin, dtype=dt, name="SCM1")(x_4, train)
+        z8 = SCM(bc * 8, in_channels=cin, dtype=dt, name="SCM0")(x_8, train)
+
+        # Encoder (feat_extract[0..2,6] + EBlocks, unet.py:216-233)
+        x_ = BasicConv(bc, 3, 1, relu=True, dtype=dt,
+                       name="feat0")(x, train)
+        res1 = EBlock(bc, self.num_res, dtype=dt, name="Encoder0")(x_, train)
+
+        z = BasicConv(bc * 2, 3, 2, relu=True, dtype=dt,
+                      name="feat1")(res1, train)
+        z = FAM(bc * 2, dtype=dt, name="FAM2")(z, z2, train)
+        res2 = EBlock(bc * 2, self.num_res, dtype=dt, name="Encoder1")(z, train)
+
+        z = BasicConv(bc * 4, 3, 2, relu=True, dtype=dt,
+                      name="feat2")(res2, train)
+        z = FAM(bc * 4, dtype=dt, name="FAM1")(z, z4, train)
+        res3 = EBlock(bc * 4, self.num_res, dtype=dt, name="Encoder2")(z, train)
+
+        z = BasicConv(bc * 8, 3, 2, relu=True, dtype=dt,
+                      name="feat6")(res3, train)
+        z = FAM(bc * 8, dtype=dt, name="FAM0")(z, z8, train)
+        z = EBlock(bc * 8, self.num_res, dtype=dt, name="Encoder3")(z, train)
+
+        # Cross-scale AFF fusion (unet.py:239-254); the reference's
+        # F.interpolate defaults are nearest for these resamples.
+        z12 = _nearest_down(res1, 2)
+        z13 = _nearest_down(res1, 4)
+        z21 = _nearest_up(res2, 2)
+        z23 = _nearest_down(res2, 2)
+        z32 = _nearest_up(res3, 2)
+        z31 = _nearest_up(res3, 4)
+        z43 = _nearest_up(z, 2)
+        z42 = _nearest_up(z43, 2)
+        z41 = _nearest_up(z42, 2)
+
+        res1 = AFF(bc, dtype=dt, name="AFF0")(res1, z21, z31, z41, train)
+        res2 = AFF(bc * 2, dtype=dt, name="AFF1")(z12, res2, z32, z42, train)
+        res3 = AFF(bc * 4, dtype=dt, name="AFF2")(z13, z23, res3, z43, train)
+
+        # Decoder (unet.py:255-280): stride-2 k4 conv + x4 bilinear = x2 up.
+        z = DBlock(bc * 8, self.num_res, dtype=dt, name="Decoder0")(z, train)
+        z = BasicConv(bc * 4, 4, 2, relu=True, dtype=dt, name="feat7")(z, train)
+        z = _bilinear_up4(z)
+        z = jnp.concatenate([z, res3], axis=-1)
+        z = BasicConv(bc * 4, 1, 1, relu=True, dtype=dt, name="Convs0")(z, train)
+        z = DBlock(bc * 4, self.num_res, dtype=dt, name="Decoder1")(z, train)
+
+        z = BasicConv(bc * 2, 4, 2, relu=True, dtype=dt, name="feat3")(z, train)
+        z = _bilinear_up4(z)
+        z = jnp.concatenate([z, res2], axis=-1)
+        z = BasicConv(bc * 2, 1, 1, relu=True, dtype=dt, name="Convs1")(z, train)
+        z = DBlock(bc * 2, self.num_res, dtype=dt, name="Decoder2")(z, train)
+
+        z = BasicConv(bc, 4, 2, relu=True, dtype=dt, name="feat4")(z, train)
+        z = _bilinear_up4(z)
+        z = jnp.concatenate([z, res1], axis=-1)
+        z = BasicConv(bc, 1, 1, relu=True, dtype=dt, name="Convs2")(z, train)
+        feats = DBlock(bc, self.num_res, dtype=dt, name="Decoder3")(z, train)
+        im = BasicConv(self.num_output_channels, 3, 1, relu=False,
+                       dtype=dt, name="feat5")(feats, train)
+
+        out = {"im_out": im.astype(jnp.float32)}
+        if self.num_classes is not None:
+            seg = BasicConv(self.num_classes, 3, 1, relu=False, dtype=dt,
+                            name="seg_head")(feats, train)
+            out["seg_out"] = seg.astype(jnp.float32)
+        return out
