@@ -1,0 +1,49 @@
+"""Benchmark: fused inference frames/sec per chip at the kitti6 operating
+point (1216x368, BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
+
+Baseline: the reference's viewer on a GTX 1080 Ti. The reference repo
+publishes no FPS number (BASELINE.md); the paper claims real-time, and the
+BASELINE.json target is >=3x a 1080 Ti per chip. We use 30 fps as the
+assumed 1080 Ti reference rate for vs_baseline until a measured number
+exists (documented in BASELINE.md: "baseline procedure").
+"""
+
+import json
+import time
+
+import numpy as np
+
+ASSUMED_REFERENCE_FPS = 30.0
+
+
+def main():
+    import jax
+
+    from __graft_entry__ import entry
+
+    fn, args = entry()
+    jfn = jax.jit(fn)
+    out = jfn(*args)
+    np.asarray(out)  # force through the tunnel (block_until_ready can
+    # return early on the axon platform)
+
+    n_iters = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = jfn(*args)
+    np.asarray(out[0, 0, 0])
+    dt = (time.perf_counter() - t0) / n_iters
+    fps = 1.0 / dt
+    print(json.dumps({
+        "metric": "fused render fps/chip @1216x368, 1M pts",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / ASSUMED_REFERENCE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

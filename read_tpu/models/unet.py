@@ -83,9 +83,14 @@ class BasicConv(nn.Module):
             f = nn.elu(f)
         m = jax.nn.sigmoid(nn.Conv(name="conv_m", **kw)(x.astype(self.dtype)))
         out = f * m
+        # use_fast_variance=False: the E[x^2]-E[x]^2 formulation loses to
+        # cancellation on constant feature maps (the zero-init texture
+        # makes whole pyramids constant at step 0) and its backward emits
+        # NaN; the two-pass variance is stable there.
         out = nn.BatchNorm(
             name="norm", use_running_average=not train, momentum=0.9,
             epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32,
+            use_fast_variance=False,
         )(out.astype(jnp.float32))
         return out.astype(self.dtype)
 

@@ -42,7 +42,9 @@ __all__ = [
     "rasterize",
     "rasterize_batch",
     "rasterize_pyramid",
+    "rasterize_pyramid_pooled",
     "rasterize_reference",
+    "zbuffer_reference",
 ]
 
 # Sentinel depth for invalid points; any real NDC depth lies in [0, 1].
@@ -113,18 +115,50 @@ def _zbuffer(pix: jax.Array, depth: jax.Array, n_pixels: int):
     return index[:n_pixels], dout[:n_pixels]
 
 
+def _zbuffer_sort(pix: jax.Array, depth: jax.Array, ids: jax.Array,
+                  n_pixels: int):
+    """Sort-based deterministic z-buffer.
+
+    Lexicographic sort by (pixel, depth, id) — XLA's TPU sort is a fully
+    vectorized bitonic network, unlike scatter-with-min-combiner which
+    serializes conflicting updates — then the first element of each pixel
+    segment is the winner, written back with a unique-index scatter.
+    Same semantics as :func:`_zbuffer` (min depth, smallest id ties,
+    -1/0 empties).
+    """
+    spix, sdep, sid = jax.lax.sort((pix, depth, ids), num_keys=3)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), spix[1:] != spix[:-1]])
+    win = first & (spix < n_pixels)
+    tgt = jnp.where(win, spix, n_pixels)  # dump slot dropped below
+    ibuf = jnp.full((n_pixels,), -1, jnp.int32).at[tgt].set(
+        sid, mode="drop")
+    dbuf = jnp.zeros((n_pixels,), jnp.float32).at[tgt].set(
+        sdep, mode="drop")
+    return ibuf, dbuf
+
+
 def rasterize(xyz: jax.Array, total_m: jax.Array, h: int, w: int,
-              point_radius: int = 0):
+              point_radius: int = 0, method: str = "sort"):
     """Rasterize one view: ``(index [h,w] int32, depth [h,w] f32)``.
 
     ``point_radius`` r>0 splats each point over a (2r+1)^2 pixel square
     (GL point-size semantics, ``READ/gl/programs.py:183-192``); each
     covered pixel still depth-tests independently.
+
+    ``method``: 'sort' (vectorized bitonic sort + unique scatter; the TPU
+    fast path) or 'scatter' (two scatter-min passes; simpler, kept as the
+    reference XLA formulation and for small point counts).
     """
     ndc, valid = project_points(xyz, total_m)
     if point_radius == 0:
         pix, depth = _pixel_ids(ndc, valid, h, w)
-        index, dbuf = _zbuffer(pix, depth, h * w)
+        if method == "sort":
+            n = pix.shape[0]
+            ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+            index, dbuf = _zbuffer_sort(pix, depth, ids, h * w)
+        else:
+            index, dbuf = _zbuffer(pix, depth, h * w)
         return index.reshape(h, w), dbuf.reshape(h, w)
 
     # Splat: offset the pixel id by (dy, dx); accumulate min over all
@@ -146,9 +180,12 @@ def rasterize(xyz: jax.Array, total_m: jax.Array, h: int, w: int,
         dep_all.append(jnp.where(inside, depth0, _FAR))
     pix = jnp.concatenate(pix_all)
     dep = jnp.concatenate(dep_all)
+    ids_rep = jnp.tile(ids, len(offsets))
+    if method == "sort":
+        index, dout = _zbuffer_sort(pix, dep, ids_rep, h * w)
+        return index.reshape(h, w), dout.reshape(h, w)
     dbuf = dbuf.at[pix].min(dep, mode="drop")
     win = dep <= dbuf[pix]
-    ids_rep = jnp.tile(ids, len(offsets))
     ibuf = jnp.full((h * w + 1,), jnp.iinfo(jnp.int32).max, jnp.int32)
     ibuf = ibuf.at[jnp.where(win, pix, h * w)].min(ids_rep, mode="drop")
     index = jnp.where(ibuf == jnp.iinfo(jnp.int32).max, -1, ibuf)
@@ -157,19 +194,20 @@ def rasterize(xyz: jax.Array, total_m: jax.Array, h: int, w: int,
 
 
 def rasterize_batch(xyz: jax.Array, total_m: jax.Array, h: int, w: int,
-                    point_radius: int = 0):
+                    point_radius: int = 0, method: str = "sort"):
     """Batch of views: ``total_m [B,4,4]`` -> ``(index [B,h,w], depth)``.
 
     Replaces the host loop over the batch at ``point_render.cu:186-192``
     with a vmap (one fused program, no per-view launches).
     """
-    f = functools.partial(rasterize, h=h, w=w, point_radius=point_radius)
+    f = functools.partial(rasterize, h=h, w=w, point_radius=point_radius,
+                          method=method)
     return jax.vmap(f, in_axes=(None, 0))(xyz, total_m)
 
 
 def rasterize_pyramid(xyz: jax.Array, total_m: jax.Array,
                       target_shape: Sequence[int], num_scales: int = 5,
-                      point_radius: int = 0):
+                      point_radius: int = 0, method: str = "sort"):
     """Multi-scale pyramid: scale i renders at ``target/2^i``.
 
     Mirrors ``MyRender.render`` (``src/READ/gl/myrender.py:32-43``): scale
@@ -185,7 +223,56 @@ def rasterize_pyramid(xyz: jax.Array, total_m: jax.Array,
     out = []
     for i in range(num_scales):
         h, w = h0 // (2 ** i), w0 // (2 ** i)
-        out.append(rasterize_batch(xyz, total_m, h, w, point_radius))
+        out.append(rasterize_batch(xyz, total_m, h, w, point_radius,
+                                   method))
+    return out
+
+
+def _pool2x2_zbuffer(index: jax.Array, depth: jax.Array):
+    """Exact 2x2 min-depth pooling of an (index, depth) buffer pair.
+
+    Because pixel coordinates are floors of a common projection,
+    ``floor(u/2^i) == floor(floor(u/2^(i-1))/2)``, the winner of a coarse
+    pixel is exactly the lexicographic (depth, id) minimum of its four
+    fine sub-pixels. This turns the 5-scale pyramid into ONE rasterization
+    + four cheap reductions (the reference rasterizes every scale from
+    scratch: ``myrender.py:32-40``).
+    """
+    b, h, w = index.shape
+    ix = index.reshape(b, h // 2, 2, w // 2, 2)
+    dp = depth.reshape(b, h // 2, 2, w // 2, 2)
+    dp = jnp.where(ix < 0, _FAR, dp)  # empty -> +inf for the min
+
+    def combine(a, c):
+        (ia, da), (ic, dc) = a, c
+        better = (dc < da) | ((dc == da) & (ic < ia))
+        return (jnp.where(better, ic, ia), jnp.where(better, dc, da))
+
+    out = (ix[:, :, 0, :, 0], dp[:, :, 0, :, 0])
+    for sy, sx in ((0, 1), (1, 0), (1, 1)):
+        out = combine(out, (ix[:, :, sy, :, sx], dp[:, :, sy, :, sx]))
+    oi, od = out
+    od = jnp.where(oi < 0, 0.0, od)
+    return oi, od
+
+
+def rasterize_pyramid_pooled(xyz: jax.Array, total_m: jax.Array,
+                             target_shape: Sequence[int],
+                             num_scales: int = 5,
+                             point_radius: int = 0,
+                             method: str = "sort"):
+    """Multi-scale pyramid via one full-res rasterization + exact 2x2
+    min-pooling (see :func:`_pool2x2_zbuffer`). Equivalent to
+    :func:`rasterize_pyramid` when ``target_shape`` is divisible by
+    ``2^(num_scales-1)`` and ``point_radius == 0``; with splats the pooled
+    variant applies the splat at full resolution only (a coarse-scale
+    splat still covers >=1 pixel after pooling)."""
+    h0, w0 = target_shape
+    idx, dep = rasterize_batch(xyz, total_m, h0, w0, point_radius, method)
+    out = [(idx, dep)]
+    for _ in range(1, num_scales):
+        idx, dep = _pool2x2_zbuffer(idx, dep)
+        out.append((idx, dep))
     return out
 
 

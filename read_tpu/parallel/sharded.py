@@ -1,0 +1,241 @@
+"""Multi-chip SPMD: sharded rasterization, sharded descriptor tables,
+data-parallel training.
+
+The reference's only parallelism is single-process ``nn.DataParallel``
+(``train.py:138-139``) plus host-swapped per-scene textures
+(``compose.py:96-116``); it has NO distributed backend (SURVEY.md 2.9).
+This module is the TPU-native scaling story:
+
+- mesh axes ``('data', 'points')``: batch rows shard over ``data``
+  (the DataParallel analogue), the point cloud AND its descriptor table
+  shard over ``points`` (the "long-context" analogue — scene scale is
+  what outgrows one chip, SURVEY.md 5.7).
+- rasterization: each ``points`` shard z-buffers its local points with
+  global ids, then shards lexicographically min-reduce (depth, id) over
+  ICI — the deterministic z-merge replacing the reference kernel's
+  per-pixel spinlock (``point_render.cu:148-166``).
+- descriptor gather: each shard gathers only the rows it owns; a psum
+  assembles full feature maps. Its transpose automatically routes
+  scatter-add gradients back to the owning shard.
+- gradients: pmean over ``data`` (grad all-reduce over ICI), texture
+  grads stay sharded over ``points`` (sharded optimizer state).
+
+Everything is a single jitted shard_map step: no host round-trips.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from read_tpu.models import texture as T
+from read_tpu.ops import rasterize as R
+from read_tpu.pipelines import texture_pipeline as TP
+
+__all__ = ["make_mesh", "sharded_rasterize_pyramid", "sharded_gather",
+           "make_sharded_train_step", "shard_scene", "shard_state"]
+
+_INT_MAX = jnp.iinfo(jnp.int32).max
+
+
+def make_mesh(n_data: int, n_points: int,
+              devices=None) -> Mesh:
+    """Build a ``('data', 'points')`` mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    assert n_data * n_points <= len(devices), (
+        f"need {n_data * n_points} devices, have {len(devices)}")
+    dev = np.asarray(devices[:n_data * n_points]).reshape(
+        n_data, n_points)
+    return Mesh(dev, ("data", "points"))
+
+
+def _local_raster_merge(xyz_local: jax.Array, id_offset: jax.Array,
+                        total_m: jax.Array, h: int, w: int,
+                        point_radius: int, axis: str):
+    """Local z-buffer with global ids + cross-shard lexicographic merge.
+
+    Tie-break parity with the single-chip path: min depth first, then the
+    smallest global point id.
+    """
+    idx_l, dep_l = R.rasterize_batch(xyz_local, total_m, h, w,
+                                     point_radius)
+    idx_g = jnp.where(idx_l >= 0, idx_l + id_offset, -1)
+    dep_inf = jnp.where(idx_l >= 0, dep_l, jnp.float32(np.inf))
+    dep_min = jax.lax.pmin(dep_inf, axis)
+    cand = jnp.where((dep_inf == dep_min) & (idx_g >= 0), idx_g, _INT_MAX)
+    idx_win = jax.lax.pmin(cand, axis)
+    index = jnp.where(idx_win == _INT_MAX, -1, idx_win)
+    depth = jnp.where(index < 0, 0.0, dep_min)
+    return index, depth
+
+
+def sharded_rasterize_pyramid(xyz_local: jax.Array, id_offset: jax.Array,
+                              total_m: jax.Array, target_shape,
+                              num_scales: int = 4, point_radius: int = 0,
+                              axis: str = "points"):
+    """shard_map body: merged full-res buffer + exact 2x2 pooled pyramid
+    (one ICI merge total — coarse scales pool the merged buffer)."""
+    h0, w0 = target_shape
+    idx, dep = _local_raster_merge(xyz_local, id_offset, total_m, h0, w0,
+                                   point_radius, axis)
+    out = [(idx, dep)]
+    for _ in range(1, num_scales):
+        idx, dep = R._pool2x2_zbuffer(idx, dep)
+        out.append((idx, dep))
+    return out
+
+
+def sharded_gather(table_local: jax.Array, id_offset: jax.Array,
+                   index_map: jax.Array, activation: str = "none",
+                   axis: str = "points") -> jax.Array:
+    """Gather descriptors from a row-sharded table: each shard serves the
+    ids it owns; psum assembles the map. The psum transpose broadcasts
+    cotangents so each shard's scatter-add receives exactly its rows'
+    gradients."""
+    n_local = table_local.shape[0]
+    local_ids = index_map - id_offset
+    owned = (local_ids >= 0) & (local_ids < n_local)
+    local_ids = jnp.where(owned, local_ids, 0)
+    sample = table_local[local_ids] * owned[..., None].astype(
+        table_local.dtype)
+    sample = jax.lax.psum(sample, axis)
+    if activation == "sigmoid":
+        sample = jax.nn.sigmoid(sample)
+    elif activation == "tanh":
+        sample = jnp.tanh(sample)
+    return sample
+
+
+def shard_scene(mesh: Mesh, xyz: np.ndarray, texture: jax.Array):
+    """Place a scene's points+texture sharded over the ``points`` axis
+    (padding N to a multiple of the axis size with far-away dummy
+    points)."""
+    n_shards = mesh.shape["points"]
+    n = xyz.shape[0]
+    pad = (-n) % n_shards
+    if pad:
+        # dummy points far behind any camera; never win the z-test
+        xyz = np.concatenate(
+            [np.asarray(xyz), np.full((pad, 3), 1e9, np.float32)])
+        texture = jnp.concatenate(
+            [texture, jnp.zeros((pad, texture.shape[1]),
+                                texture.dtype)])
+    xyz_s = jax.device_put(
+        jnp.asarray(xyz, jnp.float32),
+        NamedSharding(mesh, P("points", None)))
+    tex_s = jax.device_put(texture, NamedSharding(mesh, P("points", None)))
+    return xyz_s, tex_s
+
+
+def shard_state(mesh: Mesh, state: TP.TrainState) -> TP.TrainState:
+    """Replicate net params/opt, shard texture (+ its RMSprop state)."""
+    repl = NamedSharding(mesh, P())
+    tex_sh = NamedSharding(mesh, P("points", None))
+
+    def put_tex_tree(tree):
+        return jax.tree.map(
+            lambda x: jax.device_put(x, tex_sh)
+            if getattr(x, "ndim", 0) == 2 and
+            x.shape == state.texture.shape else jax.device_put(x, repl),
+            tree)
+
+    return TP.TrainState(
+        step=jax.device_put(state.step, repl),
+        params=jax.tree.map(lambda x: jax.device_put(x, repl),
+                            state.params),
+        batch_stats=jax.tree.map(lambda x: jax.device_put(x, repl),
+                                 state.batch_stats),
+        texture=jax.device_put(state.texture, tex_sh),
+        net_opt=jax.tree.map(lambda x: jax.device_put(x, repl),
+                             state.net_opt),
+        tex_opt=put_tex_tree(state.tex_opt),
+        lr_scale=jax.device_put(state.lr_scale, repl),
+    )
+
+
+def make_sharded_train_step(net, cfg: TP.PipelineConfig, vgg_params,
+                            mesh: Mesh):
+    """Fused SPMD train step over the ('data','points') mesh.
+
+    batch: ``total_m [B,4,4]`` / ``target [B,h,w,3]`` (+mask/label)
+    sharded P('data'); texture sharded P('points'); params replicated.
+    """
+    net_opt, tex_opt = TP._make_optimizers(cfg)
+    h, w = cfg.crop_size
+
+    def _loss_local(params, batch_stats, tex_local, xyz_local, id_offset,
+                    batch):
+        levels = sharded_rasterize_pyramid(
+            xyz_local, id_offset, batch["total_m"], (h, w),
+            cfg.num_scales, cfg.point_radius)
+        pyr = [sharded_gather(tex_local, id_offset, ix,
+                              cfg.texture_activation)
+               for ix, _ in levels]
+        variables = {"params": params, "batch_stats": batch_stats}
+        out, mutated = net.apply(variables, *pyr, train=True,
+                                 mutable=["batch_stats"])
+        loss, metrics = TP._losses(cfg, vgg_params, out, batch)
+        if cfg.reg_weight:
+            # local-shard contribution; summed below via psum of grads
+            loss = loss + T.point_texture_reg_loss(tex_local,
+                                                   cfg.reg_weight)
+        return loss, (metrics, mutated["batch_stats"])
+
+    def step_body(params, batch_stats, tex_local, xyz_local, batch,
+                  net_opt_state, tex_opt_state, lr_scale, step):
+        n_local = xyz_local.shape[0]
+        id_offset = (jax.lax.axis_index("points") * n_local).astype(
+            jnp.int32)
+        (loss, (metrics, new_bs)), grads = jax.value_and_grad(
+            _loss_local, argnums=(0, 2), has_aux=True)(
+                params, batch_stats, tex_local, xyz_local, id_offset,
+                batch)
+        g_net, g_tex = jax.tree.map(
+            functools.partial(TP._guard_grad, clip=cfg.grad_clip), grads)
+        # DataParallel grad mean over the data axis (ogl/train parity:
+        # DataParallel averages replica losses).
+        g_net = jax.lax.pmean(g_net, "data")
+        g_tex = jax.lax.pmean(g_tex, "data")
+        new_bs = jax.lax.pmean(new_bs, "data")
+        metrics = jax.lax.pmean(metrics, "data")
+        metrics["loss"] = jax.lax.pmean(loss, "data")
+
+        up_net, net_opt_state = net_opt.update(g_net, net_opt_state,
+                                               params)
+        up_tex, tex_opt_state = tex_opt.update(g_tex, tex_opt_state,
+                                               tex_local)
+        params = jax.tree.map(
+            lambda p, u: p + cfg.lr * lr_scale * u, params, up_net)
+        tex_local = tex_local + cfg.texture_lr * lr_scale * up_tex
+        return (params, new_bs, tex_local, net_opt_state, tex_opt_state,
+                step + 1, metrics)
+
+    from jax import shard_map
+
+    body = shard_map(
+        step_body, mesh=mesh,
+        in_specs=(P(), P(), P("points", None), P("points", None),
+                  P("data"), P(), P("points", None), P(), P()),
+        out_specs=(P(), P(), P("points", None), P(), P("points", None),
+                   P(), P()),
+        check_vma=False)
+
+    @jax.jit
+    def train_step(state: TP.TrainState, xyz_sharded: jax.Array,
+                   batch: Dict):
+        (params, new_bs, texture, net_opt_state, tex_opt_state, step,
+         metrics) = body(state.params, state.batch_stats, state.texture,
+                         xyz_sharded, batch, state.net_opt,
+                         state.tex_opt, state.lr_scale, state.step)
+        new_state = state.replace(
+            step=step, params=params, batch_stats=new_bs, texture=texture,
+            net_opt=net_opt_state, tex_opt=tex_opt_state)
+        return new_state, metrics
+
+    return train_step

@@ -1,0 +1,293 @@
+"""TexturePipeline: joint net + per-scene neural-texture training.
+
+Parity target: ``READ/pipelines/ogl.py:58-154`` + the train-loop math of
+``src/train.py:156-280``:
+
+- Adam(net, lr=1e-4) + RMSprop(textures, lr=1e-1) (``ogl.py:16,97-102``;
+  torch RMSprop defaults alpha=0.99, eps=1e-8).
+- The texture LR tracks the net scheduler's plateau decay
+  (``ogl.py:129-144``) — here both optimizers consume one ``lr_scale``
+  factor driven by a host-side ReduceLROnPlateau.
+- Loss = VGG perceptual + huber * 1e4 (``src/train.py:219-221``)
+  [+ seg CE * 3e2 when labels are present] [+ masked background term and
+  mask renormalization, ``train.py:183-197``] + texture L2 reg
+  (``texture.py:39-40``).
+- One fused jitted step: rasterize -> gather -> UNet -> losses -> grads ->
+  updates. The reference's host round-trip per iteration
+  (``point_render.cu:196-197`` -> ``myrender.py:38-41`` -> ``to_device``)
+  does not exist here.
+
+The step treats the point cloud and camera matrices as inputs, the
+descriptor table as a trained parameter alongside the net. Index maps are
+integer outputs of the rasterizer, so no gradient flows into projection —
+same as the reference (forward-only rasterizer).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from read_tpu.criterions import losses as L
+from read_tpu.criterions import vgg as V
+from read_tpu.models import texture as T
+from read_tpu.models.unet import UNet
+from read_tpu.ops import rasterize as R
+
+__all__ = ["PipelineConfig", "TrainState", "create_state", "make_train_step",
+           "make_eval_step", "ReduceLROnPlateau"]
+
+
+@struct.dataclass
+class PipelineConfig:
+    """Static experiment hyperparameters (jit-static)."""
+    crop_size: Tuple[int, int] = (256, 256)      # (h, w)
+    descriptor_size: int = 8
+    num_scales: int = 4           # net consumes 4 scales (unet.py:209-212)
+    supersampling: int = 1
+    lr: float = 1e-4
+    texture_lr: float = 1e-1
+    huber_ratio: float = 1e4      # src/train.py:549-550
+    seg_ratio: float = 3e2        # src/train.py:548
+    vgg_ratio: float = 1.0
+    reg_weight: float = 0.0
+    texture_activation: str = "none"
+    use_mask: bool = False
+    masked_background: bool = False
+    num_classes: Optional[int] = None
+    point_radius: int = 0
+    grad_clip: float = 1e3   # elementwise bound + NaN/inf guard
+    dtype: Any = jnp.float32
+
+    def pytree__static(self):  # marker; all fields static via closure use
+        return self
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any                   # net params
+    batch_stats: Any              # BatchNorm running stats
+    texture: jax.Array            # [N, C] descriptor table (active scene)
+    net_opt: Any
+    tex_opt: Any
+    lr_scale: jax.Array           # plateau-decay factor, applied to both
+
+
+def _guard_grad(g: jax.Array, clip: float) -> jax.Array:
+    """Elementwise NaN->0 / inf->±clip / bound guard. Keeps training alive
+    through pathological batches (e.g. a crop with zero visible points
+    makes inputs constant and BN backward overflows; the reference skips
+    empty-mask batches instead, ``train.py:152-154``)."""
+    g = jnp.nan_to_num(g, nan=0.0, posinf=clip, neginf=-clip)
+    return jnp.clip(g, -clip, clip)
+
+
+def _make_optimizers(cfg: PipelineConfig):
+    # inject lr_scale by scaling gradients' learning rate each step via
+    # optax.scale_by_schedule is awkward; instead both transforms output
+    # unit-lr updates and the step multiplies by (base_lr * lr_scale).
+    net_opt = optax.chain(
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.scale(-1.0),
+    )
+    # torch RMSprop parity: alpha (decay) 0.99, eps 1e-8 outside sqrt-free
+    tex_opt = optax.chain(
+        optax.scale_by_rms(decay=0.99, eps=1e-8),
+        optax.scale(-1.0),
+    )
+    return net_opt, tex_opt
+
+
+def create_state(key: jax.Array, cfg: PipelineConfig, n_points: int,
+                 texture_init: str = "rand",
+                 net: Optional[UNet] = None) -> Tuple[TrainState, UNet]:
+    """Initialize net params, descriptor table, and optimizer states.
+
+    ``texture_init`` default is 'rand' (a reference-supported init,
+    ``texture.py:26-28``) rather than the reference's 'zeros': a constant
+    (zero) descriptor table makes every feature map spatially constant, so
+    train-mode BatchNorm's backward multiplies cotangents by
+    ``rsqrt(eps) ~= 316`` per layer — ~40 gated-conv layers deep this
+    overflows f32 to inf and the gradient NaNs. torch's reference build
+    sits just under the overflow by luck of weight scale; 'rand' breaks
+    the constancy and is numerically sound. 'zeros' remains available and
+    is additionally protected by the gradient guard in the train step.
+    """
+    if net is None:
+        net = UNet(num_input_channels=cfg.descriptor_size,
+                   num_classes=cfg.num_classes, dtype=cfg.dtype)
+    h, w = cfg.crop_size
+    k_tex, k_net = jax.random.split(key)
+    dummy_pyr = [jnp.zeros((1, h // s, w // s, cfg.descriptor_size),
+                           jnp.float32) for s in (1, 2, 4, 8)]
+    variables = net.init(k_net, *dummy_pyr, train=False)
+    texture = T.init_point_texture(k_tex, n_points, cfg.descriptor_size,
+                                   texture_init)
+    net_opt, tex_opt = _make_optimizers(cfg)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        texture=texture,
+        net_opt=net_opt.init(variables["params"]),
+        tex_opt=tex_opt.init(texture),
+        lr_scale=jnp.ones((), jnp.float32),
+    )
+    return state, net
+
+
+def _forward(net: UNet, cfg: PipelineConfig, params, batch_stats, texture,
+             xyz, total_m, train: bool, shape=None):
+    """Rasterize the multi-scale pyramid, gather descriptors, run the net.
+
+    Mirrors ``NetAndTexture.forward`` (``src/READ/models/compose.py:
+    134-192``) without its per-item python loop: the whole batch renders
+    and runs in one program. ``shape`` overrides the render size (eval
+    renders full frames at the /16-aligned viewport, ``src:139-143``,
+    while training renders crops).
+    """
+    h, w = shape or cfg.crop_size
+    ss = cfg.supersampling
+    levels = R.rasterize_pyramid_pooled(
+        xyz, total_m, (h * ss, w * ss), num_scales=cfg.num_scales,
+        point_radius=cfg.point_radius)
+    pyr = []
+    for ix, _depth in levels:
+        x = T.sample_point_texture(texture, ix, cfg.texture_activation)
+        if ss > 1:
+            b, hh, ww, c = x.shape
+            x = jax.image.resize(x, (b, hh // ss, ww // ss, c), "bilinear")
+        pyr.append(x)
+    variables = {"params": params, "batch_stats": batch_stats}
+    if train:
+        out, mutated = net.apply(variables, *pyr, train=True,
+                                 mutable=["batch_stats"])
+        return out, mutated["batch_stats"], pyr
+    out = net.apply(variables, *pyr, train=False)
+    return out, batch_stats, pyr
+
+
+def _losses(cfg: PipelineConfig, vgg_params, out: Dict, batch: Dict):
+    """Assemble the src-tree loss dict (``src/train.py:219-238``)."""
+    im = out["im_out"]
+    target = batch["target"]
+    mask = batch.get("mask")
+    metrics = {}
+    if cfg.use_mask and mask is not None:
+        im_l = im * mask
+    else:
+        im_l = im
+    hub = L.huber_loss(im_l, target)
+    loss = cfg.huber_ratio * hub
+    metrics["huber_loss"] = hub
+    if vgg_params is not None and cfg.vgg_ratio:
+        vgg = V.vgg_loss(vgg_params, im_l, target)
+        loss = loss + cfg.vgg_ratio * vgg
+        metrics["vgg_loss"] = vgg
+    if cfg.num_classes is not None and "seg_out" in out \
+            and batch.get("label") is not None:
+        seg = L.cross_entropy_ignore0(out["seg_out"], batch["label"])
+        loss = loss + cfg.seg_ratio * seg
+        metrics["seg_loss"] = seg
+    if cfg.masked_background and mask is not None:
+        # main loss renormalized by mask mean + background pull
+        # (train.py:183-197)
+        loss = loss / jnp.maximum(jnp.mean(mask), 1e-6)
+        loss = loss + L.masked_background_loss(im, mask)
+    metrics["psnr"] = L.psnr(im, target)
+    return loss, metrics
+
+
+def make_train_step(net: UNet, cfg: PipelineConfig, vgg_params):
+    """Build the fused jitted train step.
+
+    batch: ``{'total_m': [B,4,4], 'target': [B,h,w,3]`` (+ optional
+    ``'mask': [B,h,w,1]``, ``'label': [B,h,w]`` int32)``}``;
+    ``xyz [N,3]`` rides as an argument so one compiled step serves any
+    same-sized scene.
+    """
+    net_opt, tex_opt = _make_optimizers(cfg)
+
+    @jax.jit
+    def train_step(state: TrainState, xyz: jax.Array, batch: Dict):
+        def loss_fn(params, texture):
+            out, new_bs, _ = _forward(net, cfg, params, state.batch_stats,
+                                      texture, xyz, batch["total_m"],
+                                      train=True)
+            loss, metrics = _losses(cfg, vgg_params, out, batch)
+            if cfg.reg_weight:
+                loss = loss + T.point_texture_reg_loss(texture,
+                                                       cfg.reg_weight)
+            return loss, (metrics, new_bs)
+
+        (loss, (metrics, new_bs)), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(
+                state.params, state.texture)
+        g_net, g_tex = jax.tree.map(
+            functools.partial(_guard_grad, clip=cfg.grad_clip), grads)
+        up_net, net_opt_state = net_opt.update(g_net, state.net_opt,
+                                               state.params)
+        up_tex, tex_opt_state = tex_opt.update(g_tex, state.tex_opt,
+                                               state.texture)
+        # lr_scale implements ReduceLROnPlateau for net AND the
+        # texture-LR-tracks-scheduler behavior (ogl.py:129-144).
+        lr_net = cfg.lr * state.lr_scale
+        lr_tex = cfg.texture_lr * state.lr_scale
+        params = jax.tree.map(lambda p, u: p + lr_net * u,
+                              state.params, up_net)
+        texture = state.texture + lr_tex * up_tex
+        metrics["loss"] = loss
+        new_state = state.replace(
+            step=state.step + 1, params=params, batch_stats=new_bs,
+            texture=texture, net_opt=net_opt_state, tex_opt=tex_opt_state)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(net: UNet, cfg: PipelineConfig, vgg_params):
+    """Jitted eval step: forward + metrics (loss, PSNR, SSIM)."""
+
+    @jax.jit
+    def eval_step(state: TrainState, xyz: jax.Array, batch: Dict):
+        shape = tuple(batch["target"].shape[1:3])
+        out, _, _ = _forward(net, cfg, state.params, state.batch_stats,
+                             state.texture, xyz, batch["total_m"],
+                             train=False, shape=shape)
+        loss, metrics = _losses(cfg, vgg_params, out, batch)
+        metrics["loss"] = loss
+        metrics["ssim"] = L.ssim(jnp.clip(out["im_out"], 0, 1),
+                                 batch["target"])
+        return out["im_out"], metrics
+
+    return eval_step
+
+
+class ReduceLROnPlateau:
+    """Host-side plateau scheduler (torch semantics: factor 0.5, patience
+    as configured; ``train.py:513``, src patience 5)."""
+
+    def __init__(self, factor: float = 0.5, patience: int = 3,
+                 min_scale: float = 1e-4):
+        self.factor = factor
+        self.patience = patience
+        self.min_scale = min_scale
+        self.best = float("inf")
+        self.bad_epochs = 0
+        self.scale = 1.0
+
+    def step(self, metric: float) -> float:
+        if metric < self.best:
+            self.best = metric
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+            if self.bad_epochs > self.patience:
+                self.scale = max(self.scale * self.factor, self.min_scale)
+                self.bad_epochs = 0
+        return self.scale

@@ -7,7 +7,9 @@ multi-chip path via ``__graft_entry__.dryrun_multichip``.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the outer environment selects the TPU platform
+# (tests must run on the virtual 8-device mesh, not through the tunnel).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +18,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# The axon site hook overrides JAX_PLATFORMS at import; force cpu here.
+jax.config.update("jax_platforms", "cpu")
 
 # Persistent compile cache: UNet/VGG compiles dominate suite runtime.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")

@@ -120,6 +120,38 @@ def test_splat_radius_covers_square():
     assert (np.asarray(idx3) >= 0).sum() == 9
 
 
+def test_sort_method_matches_scatter(rng):
+    w, h = 64, 48
+    xyz, m = _random_scene(rng, 800, w, h)
+    i_sc, d_sc = jax.jit(R.rasterize, static_argnums=(2, 3, 4, 5))(
+        xyz, m, h, w, 0, "scatter")
+    i_so, d_so = jax.jit(R.rasterize, static_argnums=(2, 3, 4, 5))(
+        xyz, m, h, w, 0, "sort")
+    np.testing.assert_array_equal(np.asarray(i_so), np.asarray(i_sc))
+    np.testing.assert_allclose(np.asarray(d_so), np.asarray(d_sc),
+                               atol=1e-7)
+
+
+def test_sort_method_splat_matches_scatter(rng):
+    w, h = 32, 32
+    xyz, m = _random_scene(rng, 200, w, h)
+    i_sc, _ = R.rasterize(xyz, m, h, w, point_radius=1, method="scatter")
+    i_so, _ = R.rasterize(xyz, m, h, w, point_radius=1, method="sort")
+    np.testing.assert_array_equal(np.asarray(i_so), np.asarray(i_sc))
+
+
+def test_pooled_pyramid_matches_per_scale(rng):
+    w, h = 64, 32
+    xyz, m = _random_scene(rng, 500, w, h)
+    per_scale = R.rasterize_pyramid(xyz, m[None], (h, w), num_scales=4)
+    pooled = R.rasterize_pyramid_pooled(xyz, m[None], (h, w), num_scales=4)
+    for lvl, ((i1, d1), (i2, d2)) in enumerate(zip(per_scale, pooled)):
+        np.testing.assert_array_equal(
+            np.asarray(i1), np.asarray(i2), err_msg=f"level {lvl}")
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                                   atol=1e-7, err_msg=f"level {lvl}")
+
+
 def test_jit_under_vmap_grad_free(rng):
     # The rasterizer must be traceable under jit+vmap with static shapes.
     xyz, m = _random_scene(rng, 100, 16, 16)
