@@ -130,11 +130,15 @@ def _zbuffer_sort(pix: jax.Array, depth: jax.Array, ids: jax.Array,
     first = jnp.concatenate(
         [jnp.ones((1,), bool), spix[1:] != spix[:-1]])
     win = first & (spix < n_pixels)
-    tgt = jnp.where(win, spix, n_pixels)  # dump slot dropped below
+    # Winner targets are unique by construction (one per pixel segment);
+    # losers aim at the out-of-bounds dump slot and are dropped.
+    # unique_indices lets XLA emit a fully parallel scatter instead of a
+    # serialized combining one (~10x on TPU).
+    tgt = jnp.where(win, spix, n_pixels)
     ibuf = jnp.full((n_pixels,), -1, jnp.int32).at[tgt].set(
-        sid, mode="drop")
+        sid, mode="drop", unique_indices=True)
     dbuf = jnp.zeros((n_pixels,), jnp.float32).at[tgt].set(
-        sdep, mode="drop")
+        sdep, mode="drop", unique_indices=True)
     return ibuf, dbuf
 
 

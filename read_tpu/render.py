@@ -1,0 +1,274 @@
+"""Inference: fused full-frame rendering, offline trajectory renders,
+and an (optional) interactive viewer backend.
+
+Parity targets:
+- ``OGL`` wrapper (``READ/gl/nn.py:76-129``): load a checkpoint (config
+  embedded), build the render pipeline at a /16-aligned viewport, expose
+  ``infer(view_matrix) -> rgb``; supersampling override; temporal
+  averaging (``compose.py:167-171``).
+- ``viewer.py``: trajectory replay (``:311-316,472-475``), render-mode
+  switches neural/colors/normals/depth/xyz/labels (``:323-356``),
+  PCA descriptor visualization (``:202-209``; ``pca_color`` at
+  ``gl/utils.py:74-91``), nearest-train-image lookup (``:492-506``;
+  ``nearest_train`` at ``gl/utils.py:487-503``), screenshots.
+
+The whole neural path (project -> z-buffer -> descriptor gather -> UNet)
+is ONE jit; the only host traffic is the final frame readback for
+display/encoding (the reference bounces через CUDA-GL interop instead,
+``render.py:103-171``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def pca_color(descriptors: np.ndarray, sample: int = 100_000,
+              seed: int = 0) -> np.ndarray:
+    """Project 8-d descriptors to RGB via PCA (``gl/utils.py:74-91``
+    behavior, full-batch instead of IncrementalPCA)."""
+    rng = np.random.default_rng(seed)
+    d = descriptors.astype(np.float64)
+    idx = rng.permutation(len(d))[:sample]
+    sub = d[idx]
+    mu = sub.mean(0)
+    _, _, vt = np.linalg.svd(sub - mu, full_matrices=False)
+    proj = (d - mu) @ vt[:3].T
+    lo, hi = np.percentile(proj[idx], [2, 98], axis=0)
+    return np.clip((proj - lo) / np.maximum(hi - lo, 1e-9), 0, 1).astype(
+        np.float32)
+
+
+def nearest_train(view_matrices, query_m: np.ndarray) -> int:
+    """Index of the training pose closest to ``query_m``
+    (``gl/utils.py:487-503`` behavior: position + orientation distance)."""
+    best, best_d = 0, np.inf
+    q_pos = query_m[:3, 3]
+    q_fwd = -query_m[:3, 2]
+    for i, m in enumerate(view_matrices):
+        m = np.asarray(m)
+        d = np.linalg.norm(m[:3, 3] - q_pos) \
+            + np.linalg.norm(-m[:3, 2] - q_fwd)
+        if d < best_d:
+            best, best_d = i, d
+    return best
+
+
+class NeuralRenderer:
+    """Checkpoint-driven fused renderer (the ``OGL`` equivalent)."""
+
+    def __init__(self, scene_path: str, ckpt_path: str,
+                 viewport: Optional[tuple] = None,
+                 supersampling: Optional[int] = None,
+                 temporal_average: bool = False,
+                 dtype: str = "float32"):
+        import jax
+        import jax.numpy as jnp
+
+        from read_tpu.models import texture as T
+        from read_tpu.models.unet import UNet
+        from read_tpu.ops import rasterize as R
+        from read_tpu.scene import camera
+        from read_tpu.scene.io import load_scene_data
+        from read_tpu.utils import ckpt as CK
+
+        self.jax, self.jnp = jax, jnp
+        self.scene_data = load_scene_data(scene_path)
+        flat, meta = CK.load_checkpoint(ckpt_path)
+        self.config = meta.get("config", {})
+
+        pc = self.scene_data["pointcloud"]
+        self.xyz = jnp.asarray(np.asarray(pc["xyz"], np.float32))
+        self.texture = jnp.asarray(flat["texture"])
+        assert self.texture.shape[0] == self.xyz.shape[0], (
+            f"texture rows {self.texture.shape[0]} != points "
+            f"{self.xyz.shape[0]}")
+
+        # viewport must be /16 (reference gl/nn.py:107-109); round down.
+        vw, vh = viewport or self.scene_data["config"]["viewport_size"]
+        self.vw, self.vh = (vw // 16) * 16, (vh // 16) * 16
+        self.ss = supersampling or int(self.config.get(
+            "supersampling", 1) or 1)
+        self.temporal_average = temporal_average
+        self._last_pyr = None
+
+        K = self.scene_data["intrinsic_matrix"]
+        K = camera.rescale_K(np.asarray(K, np.float64),
+                             self.vw / vw, self.vh / vh)
+        self.K = K
+        self.proj = camera.gl_projection(K, (self.vw, self.vh),
+                                         znear=0.1, zfar=1000.0)
+
+        num_classes = self.config.get("num_classes")
+        self.net = UNet(
+            num_input_channels=int(self.config.get("descriptor_size", 8)),
+            num_classes=num_classes,
+            dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32)
+
+        # reconstruct variables from the flat checkpoint
+        params = {k.split("params/", 1)[1]: v for k, v in flat.items()
+                  if k.startswith("params/")}
+        stats = {k.split("batch_stats/", 1)[1]: v for k, v in flat.items()
+                 if k.startswith("batch_stats/")}
+        self.variables = {
+            "params": _nest(params),
+            "batch_stats": _nest(stats),
+        }
+        act = self.config.get("texture_activation", "none")
+
+        h, w, ss = self.vh, self.vw, self.ss
+
+        def _pyramids(texture, xyz, total_m):
+            levels = R.rasterize_pyramid_pooled(
+                xyz, total_m, (h * ss, w * ss), 4)
+            pyr = []
+            for ix, _ in levels:
+                x = T.sample_point_texture(texture, ix, act)
+                if ss > 1:
+                    b, hh, ww, c = x.shape
+                    x = jax.image.resize(x, (b, hh // ss, ww // ss, c),
+                                         "bilinear")
+                pyr.append(x)
+            return tuple(pyr)
+
+        def _apply_net(pyr):
+            out = self.net.apply(self.variables, *pyr, train=False)
+            return out["im_out"]
+
+        def _infer(texture, xyz, total_m):
+            return _apply_net(_pyramids(texture, xyz, total_m))
+
+        self._pyr_fn = jax.jit(_pyramids)
+        self._net_fn = jax.jit(_apply_net)
+        self._infer = jax.jit(_infer)
+        self._raster = jax.jit(
+            lambda xyz, m: R.rasterize_batch(xyz, m, h, w))
+
+    def total_matrix(self, view_matrix: np.ndarray,
+                     K: Optional[np.ndarray] = None) -> np.ndarray:
+        from read_tpu.scene import camera
+        proj = self.proj if K is None else camera.gl_projection(
+            K, (self.vw, self.vh), 0.1, 1000.0)
+        return camera.total_matrix(proj, view_matrix).astype(np.float32)
+
+    def infer(self, view_matrix: np.ndarray,
+              K: Optional[np.ndarray] = None) -> np.ndarray:
+        """Render one neural frame; returns ``[h, w, 3]`` float in [0,1]."""
+        m = self.total_matrix(view_matrix, K)[None]
+        if not self.temporal_average:
+            img = self._infer(self.texture, self.xyz, self.jnp.asarray(m))
+            return np.clip(np.asarray(img)[0], 0.0, 1.0)
+        # temporal averaging of the net INPUT pyramid with the previous
+        # frame's (compose.py:167-171; last_input stores the averaged
+        # pyramid, as the reference does).
+        pyr = self._pyr_fn(self.texture, self.xyz, self.jnp.asarray(m))
+        if self._last_pyr is not None:
+            pyr = tuple((a + b) * 0.5
+                        for a, b in zip(pyr, self._last_pyr))
+        self._last_pyr = pyr
+        img = self._net_fn(pyr)
+        return np.clip(np.asarray(img)[0], 0.0, 1.0)
+
+    def render_mode(self, mode: str, view_matrix: np.ndarray,
+                    K: Optional[np.ndarray] = None) -> np.ndarray:
+        """Raw (non-neural) modes incl. 'pca' descriptors."""
+        from read_tpu.ops import render_modes as RM
+        m = self.total_matrix(view_matrix, K)[None]
+        idx, dep = self._raster(self.xyz, self.jnp.asarray(m))
+        if mode == "pca":
+            colors = pca_color(np.asarray(self.texture))
+            out = RM.gather_attribute(self.jnp.asarray(colors), idx)
+            return np.asarray(out)[0]
+        if mode == "depth":
+            d = np.asarray(dep)[0]
+            filled = d > 0
+            if filled.any():
+                lo, hi = d[filled].min(), d[filled].max()
+                d = np.where(filled, (d - lo) / max(hi - lo, 1e-9), 0)
+            return np.repeat(d[..., None], 3, -1).astype(np.float32)
+        pc = dict(self.scene_data["pointcloud"])
+        out = RM.render_mode(mode, idx, dep, pc,
+                             view_matrix=np.asarray(view_matrix))
+        out = np.asarray(out)[0]
+        if out.shape[-1] == 1:
+            out = np.repeat(out, 3, -1)
+        return np.clip(out.astype(np.float32), 0, 1)
+
+
+def _nest(flat: Dict[str, np.ndarray]) -> dict:
+    out: dict = {}
+    for k, v in flat.items():
+        parts = k.split("/")
+        cur = out
+        for p in parts[:-1]:
+            cur = cur.setdefault(p, {})
+        cur[parts[-1]] = v
+    return out
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        description="Offline trajectory renderer (viewer.py equivalent "
+                    "for headless runs)")
+    p.add_argument("--scene", required=True)
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--out", default="renders")
+    p.add_argument("--trajectory", default=None,
+                   help="flat txt of 4x4 camera-to-world poses; default: "
+                        "the scene's own view matrices")
+    p.add_argument("--mode", default="neural",
+                   help="neural | colors | normals_m/l/r/d | depth | xyz "
+                        "| labels | pca")
+    p.add_argument("--viewport", default=None, help="WxH override")
+    p.add_argument("--supersampling", type=int, default=None)
+    p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--fps-report", action="store_true")
+    args = p.parse_args(argv)
+
+    import imageio.v2 as imageio
+
+    viewport = None
+    if args.viewport:
+        w, h = args.viewport.lower().split("x")
+        viewport = (int(w), int(h))
+    r = NeuralRenderer(args.scene, args.ckpt, viewport=viewport,
+                       supersampling=args.supersampling)
+
+    if args.trajectory:
+        poses = np.loadtxt(args.trajectory).reshape(-1, 4, 4)
+    else:
+        poses = np.stack(r.scene_data["view_matrix"])
+    if args.max_frames:
+        poses = poses[:args.max_frames]
+
+    os.makedirs(args.out, exist_ok=True)
+    times = []
+    for i, pose in enumerate(poses):
+        t0 = time.perf_counter()
+        if args.mode == "neural":
+            img = r.infer(pose)
+        else:
+            img = r.render_mode(args.mode, pose)
+        times.append(time.perf_counter() - t0)
+        imageio.imwrite(os.path.join(args.out, f"{i:06}.png"),
+                        (img * 255).astype(np.uint8))
+    if args.fps_report and len(times) > 1:
+        steady = times[1:]
+        print(json.dumps({
+            "frames": len(times),
+            "fps": round(1.0 / float(np.mean(steady)), 2),
+            "ms_per_frame": round(float(np.mean(steady)) * 1e3, 2),
+        }))
+    print(f"wrote {len(poses)} frames to {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -31,11 +31,18 @@ __all__ = ["save_checkpoint", "load_checkpoint", "latest_checkpoint",
            "rotate_checkpoints"]
 
 
+def _path_str(p) -> str:
+    # DictKey -> .key, GetAttrKey -> .name, SequenceKey -> .idx
+    for attr in ("key", "name", "idx"):
+        if hasattr(p, attr):
+            return str(getattr(p, attr))
+    return str(p)
+
+
 def _flatten(tree) -> Dict[str, np.ndarray]:
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
-        key = "/".join(
-            str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        key = "/".join(_path_str(p) for p in path)
         flat[key] = np.asarray(leaf)
     return flat
 
@@ -45,8 +52,7 @@ def _unflatten(template, flat: Dict[str, np.ndarray]):
     treedef = jax.tree_util.tree_structure(template)
     leaves = []
     for path, leaf in paths:
-        key = "/".join(
-            str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        key = "/".join(_path_str(p) for p in path)
         if key not in flat:
             raise KeyError(f"checkpoint missing leaf {key!r}")
         arr = flat[key]
