@@ -41,7 +41,8 @@ import numpy as np
 
 from read_tpu.scene import camera
 
-__all__ = ["ViewDataset", "load_image", "BatchIterator"]
+__all__ = ["ViewDataset", "load_image", "BatchIterator",
+           "PrefetchIterator"]
 
 ZNEAR = 0.1
 ZFAR = 1000.0
@@ -317,3 +318,48 @@ class BatchIterator:
                           if isinstance(it["target_filename"], list)
                           else [it["target_filename"]])]
             yield batch
+
+
+class PrefetchIterator:
+    """Background-thread prefetch over a batch iterator.
+
+    The reference overlaps data prep with compute via DataLoader worker
+    processes (``train.py:243-248``); here the host work is image IO +
+    cv2 warps (GIL-released), so a thread pipeline suffices and keeps
+    the device step from stalling on the host.
+    """
+
+    def __init__(self, iterator, depth: int = 2):
+        self.iterator = iterator
+        self.depth = depth
+
+    def __len__(self):
+        return len(self.iterator)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        _END = object()
+        err = []
+
+        def worker():
+            try:
+                for item in self.iterator:
+                    q.put(item)
+            except BaseException as e:  # surface in the consumer
+                err.append(e)
+            finally:
+                q.put(_END)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            yield item
+        t.join()
+        if err:
+            raise err[0]

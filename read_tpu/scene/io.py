@@ -85,7 +85,8 @@ def read_ply(path: str) -> dict:
                 break
         out = {"comments": comments, "face": None}
         if fmt == "ascii":
-            text = f.read().decode("ascii").split("\n")
+            raw = f.read()
+            text = raw.decode("ascii").split("\n")
             row = 0
             for name, count, props in elements:
                 if any(p[0] == "list" for p in props):
@@ -98,7 +99,18 @@ def read_ply(path: str) -> dict:
                     if name == "face":
                         out["face"] = np.asarray(faces, np.int64)
                 else:
-                    arr = np.loadtxt(text[row:row + count], ndmin=2)
+                    arr = None
+                    if row == 0 and len(elements) == 1:
+                        # hot path: single fixed-record element -> native
+                        # strtof parser (np.loadtxt is ~100x slower on
+                        # multi-million-line files)
+                        from read_tpu import native
+                        vals = native.parse_ascii_floats(
+                            raw, count * len(props))
+                        if vals is not None:
+                            arr = vals.reshape(count, len(props))
+                    if arr is None:
+                        arr = np.loadtxt(text[row:row + count], ndmin=2)
                     out[name] = {p[0]: arr[:, j].astype(p[1])
                                  for j, p in enumerate(props)}
                 row += count

@@ -1,0 +1,179 @@
+"""Interactive viewer.
+
+Parity target: ``viewer.py`` (root tree, 553 LoC glumpy/GLFW app). The
+TPU build renders frames with the fused jit (``read_tpu.render``) and
+displays via an OpenCV window — no OpenGL context, no CUDA-GL interop
+(the reference's display path, ``viewer.py:184-189,477-478``, existed to
+move GPU frames to the screen; here the frame is copied host-side once).
+
+Key bindings (reference ``viewer.py:323-380,460-468``):
+  w/a/s/d/q/e  fly forward/left/back/right/down/up
+  1/2/3/4      turn left/right/up/down
+  z/x          roll
+  n            neural mode          c   colors mode
+  m            cycle normals modes  v   depth mode
+  b            xyz mode             l   labels mode
+  p            PCA descriptor mode
+  t            toggle temporal averaging
+  g            snap to nearest training pose
+  o            print current pose
+  s+ctrl / F12 screenshot (also 'i')
+  ESC          quit
+
+Run headless with ``--offscreen N`` to render N frames along the scene
+trajectory without a window (CI smoke path).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+_MODES = ["neural", "colors", "depth", "xyz", "labels", "pca",
+          "normals_m", "normals_l", "normals_r", "normals_d"]
+
+
+class ViewerApp:
+    def __init__(self, scene_path: str, ckpt_path: str,
+                 viewport=None, supersampling=None):
+        from read_tpu.render import NeuralRenderer, nearest_train
+        from read_tpu.scene.trackball import Trackball
+
+        self.r = NeuralRenderer(scene_path, ckpt_path, viewport=viewport,
+                                supersampling=supersampling)
+        views = self.r.scene_data["view_matrix"]
+        init = np.asarray(views[0]) if views else np.eye(4)
+        self.tb = Trackball(init)
+        self.mode = "neural"
+        self._normals_cycle = 0
+        self._nearest = nearest_train
+        self.frame_times = []
+
+    def render(self) -> np.ndarray:
+        t0 = time.perf_counter()
+        pose = self.tb.view_matrix()
+        if self.mode == "neural":
+            img = self.r.infer(pose)
+        else:
+            img = self.r.render_mode(self.mode, pose)
+        self.frame_times.append(time.perf_counter() - t0)
+        return img
+
+    def handle_key(self, key: str) -> bool:
+        """Returns False to quit."""
+        tb = self.tb
+        fly = {"w": (1, 0, 0), "s": (-1, 0, 0), "a": (0, -1, 0),
+               "d": (0, 1, 0), "q": (0, 0, -1), "e": (0, 0, 1)}
+        if key in fly:
+            tb.fly(*fly[key])
+        elif key == "1":
+            tb.turn(yaw=np.deg2rad(5))
+        elif key == "2":
+            tb.turn(yaw=np.deg2rad(-5))
+        elif key == "3":
+            tb.turn(pitch=np.deg2rad(5))
+        elif key == "4":
+            tb.turn(pitch=np.deg2rad(-5))
+        elif key == "z":
+            tb.roll(np.deg2rad(5))
+        elif key == "x":
+            tb.roll(np.deg2rad(-5))
+        elif key == "n":
+            self.mode = "neural"
+        elif key == "c":
+            self.mode = "colors"
+        elif key == "v":
+            self.mode = "depth"
+        elif key == "b":
+            self.mode = "xyz"
+        elif key == "l":
+            self.mode = "labels"
+        elif key == "p":
+            self.mode = "pca"
+        elif key == "m":
+            self._normals_cycle = (self._normals_cycle + 1) % 4
+            self.mode = ["normals_m", "normals_l", "normals_r",
+                         "normals_d"][self._normals_cycle]
+        elif key == "t":
+            self.r.temporal_average = not self.r.temporal_average
+            self.r._last_pyr = None
+        elif key == "g":
+            views = self.r.scene_data["view_matrix"]
+            if views:
+                i = self._nearest(views, tb.view_matrix())
+                tb.m = np.asarray(views[i], np.float64).copy()
+                print(f"snapped to training pose {i}")
+        elif key == "o":
+            print("pose:\n", tb.view_matrix())
+        elif key == "i":
+            img = self.render()
+            import imageio.v2 as imageio
+            fn = f"screenshot_{int(time.time())}.png"
+            imageio.imwrite(fn, (np.clip(img, 0, 1) * 255).astype(
+                np.uint8))
+            np.savetxt(fn + ".pose.txt", tb.view_matrix())
+            print(f"saved {fn} (+pose)")
+        elif key == "\x1b":  # ESC
+            return False
+        return True
+
+    @property
+    def fps(self) -> float:
+        if len(self.frame_times) < 2:
+            return 0.0
+        return 1.0 / float(np.mean(self.frame_times[-20:]))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Interactive neural viewer")
+    p.add_argument("--scene", required=True)
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--viewport", default=None, help="WxH")
+    p.add_argument("--supersampling", type=int, default=None)
+    p.add_argument("--offscreen", type=int, default=0,
+                   help="render N trajectory frames headless and exit")
+    args = p.parse_args(argv)
+
+    viewport = None
+    if args.viewport:
+        w, h = args.viewport.lower().split("x")
+        viewport = (int(w), int(h))
+    app = ViewerApp(args.scene, args.ckpt, viewport=viewport,
+                    supersampling=args.supersampling)
+
+    if args.offscreen:
+        views = app.r.scene_data["view_matrix"]
+        for i in range(min(args.offscreen, len(views))):
+            app.tb.m = np.asarray(views[i], np.float64).copy()
+            img = app.render()
+        # drive a few key events headless as a smoke of the bindings
+        for k in "wd1nmcvp":
+            app.handle_key(k)
+            app.render()
+        print(f"offscreen ok: {len(app.frame_times)} frames, "
+              f"fps {app.fps:.2f}, mode {app.mode}")
+        return 0
+
+    import cv2
+    win = "read_tpu viewer (ESC quits)"
+    cv2.namedWindow(win, cv2.WINDOW_AUTOSIZE)
+    running = True
+    while running:
+        img = app.render()
+        bgr = (np.clip(img, 0, 1)[..., ::-1] * 255).astype(np.uint8)
+        cv2.putText(bgr, f"{app.fps:5.1f} fps  [{app.mode}]", (8, 18),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.5, (0, 255, 0), 1)
+        cv2.imshow(win, bgr)
+        k = cv2.waitKey(1) & 0xFF
+        if k != 255:
+            running = app.handle_key(chr(k))
+    cv2.destroyAllWindows()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
