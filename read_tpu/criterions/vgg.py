@@ -136,3 +136,13 @@ def vgg_loss(params: list, pred: jax.Array, target: jax.Array,
     for a, b in zip(fp, ft):
         loss = loss + jnp.mean(jnp.abs(a - b))
     return loss
+
+
+def vgg_loss_mix(params_pytorch: list, params_caffe: list,
+                 pred: jax.Array, target: jax.Array,
+                 weight: float = 0.5) -> jax.Array:
+    """Weighted blend of pytorch- and caffe-normalized VGG losses
+    (``VGGLossMix``, ``vgg_loss.py:114-122``)."""
+    return (vgg_loss(params_pytorch, pred, target, "pytorch") * weight
+            + vgg_loss(params_caffe, pred, target, "caffe")
+            * (1.0 - weight))

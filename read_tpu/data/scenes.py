@@ -29,11 +29,24 @@ __all__ = ["get_datasets", "get_dataset_config", "name_template"]
 
 
 def get_dataset_config(paths_data: dict, name: str) -> dict:
+    """Resolve one dataset's entry, applying the per-hostname data_root
+    prefix if configured (``common.py:64-79`` parity: a ``data_roots``
+    map of hostname -> path prefix, joined onto relative paths)."""
     datasets = paths_data["datasets"]
     if name not in datasets:
         raise KeyError(f"dataset {name!r} not in paths file; have "
                        f"{sorted(datasets)}")
-    return datasets[name]
+    config = dict(datasets[name])
+    roots = paths_data.get("data_roots")
+    if roots:
+        import socket
+        root = roots.get(socket.gethostname(), roots.get("default"))
+        if root:
+            for key in ("scene_path", "target_path", "mask_path",
+                        "label_path"):
+                if key in config and not os.path.isabs(config[key]):
+                    config[key] = os.path.join(root, config[key])
+    return config
 
 
 _LAMBDA_FSTRING = re.compile(

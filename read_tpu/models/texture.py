@@ -30,6 +30,7 @@ import jax.numpy as jnp
 __all__ = [
     "init_point_texture",
     "sample_point_texture",
+    "sample_point_texture_unique",
     "point_texture_reg_loss",
     "init_mesh_texture",
     "sample_mesh_texture",
@@ -77,6 +78,54 @@ def sample_point_texture(table: jax.Array, index_map: jax.Array,
     sample = table[idx]
     mask = (index_map >= 0)[..., None].astype(table.dtype)
     sample = sample * mask
+    if activation == "sigmoid":
+        sample = jax.nn.sigmoid(sample)
+    elif activation == "tanh":
+        sample = jnp.tanh(sample)
+    elif activation != "none":
+        raise ValueError(f"unknown activation: {activation}")
+    return sample
+
+
+@jax.custom_vjp
+def _gather_unique(table: jax.Array, index_map: jax.Array) -> jax.Array:
+    n = table.shape[0]
+    idx = jnp.clip(index_map, 0, n - 1)
+    return table[idx] * (index_map >= 0)[..., None].astype(table.dtype)
+
+
+def _gather_unique_fwd(table, index_map):
+    return _gather_unique(table, index_map), (index_map, table.shape[0])
+
+
+def _gather_unique_bwd(res, g):
+    index_map, n = res
+    c = g.shape[-1]
+    # Each point wins at most ONE pixel per image with 1px splats, so the
+    # per-image scatter-add has unique indices -> XLA emits a fully
+    # parallel scatter instead of a serialized combining one (~100x).
+    # Empties (-1) aim at the dump row n and are dropped.
+    idx2 = index_map.reshape(-1, *index_map.shape[-2:])
+    g2 = g.reshape(-1, *g.shape[-3:])
+    acc = jnp.zeros((n + 1, c), g.dtype)
+    for b in range(idx2.shape[0]):
+        flat_i = idx2[b].reshape(-1)
+        tgt = jnp.where(flat_i >= 0, flat_i, n)
+        acc = acc.at[tgt].add(g2[b].reshape(-1, c), mode="drop",
+                              unique_indices=True)
+    return acc[:n], None
+
+
+_gather_unique.defvjp(_gather_unique_fwd, _gather_unique_bwd)
+
+
+def sample_point_texture_unique(table: jax.Array, index_map: jax.Array,
+                                activation: str = "none") -> jax.Array:
+    """:func:`sample_point_texture` with a fast backward that exploits
+    index uniqueness per image (valid ONLY for 1px splats — with
+    ``point_radius > 0`` a point covers several pixels and the plain
+    gather must be used)."""
+    sample = _gather_unique(table, index_map)
     if activation == "sigmoid":
         sample = jax.nn.sigmoid(sample)
     elif activation == "tanh":

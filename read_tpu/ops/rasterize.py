@@ -201,9 +201,28 @@ def rasterize_batch(xyz: jax.Array, total_m: jax.Array, h: int, w: int,
                     point_radius: int = 0, method: str = "sort"):
     """Batch of views: ``total_m [B,4,4]`` -> ``(index [B,h,w], depth)``.
 
-    Replaces the host loop over the batch at ``point_render.cu:186-192``
-    with a vmap (one fused program, no per-view launches).
+    Replaces the host loop over the batch at ``point_render.cu:186-192``.
+    The 'sort' method z-buffers ALL views in ONE sort by offsetting pixel
+    ids with ``view * h * w`` — a bitonic sort is strongly sublinear in
+    practice on TPU, so one BxN sort beats B separate N sorts.
     """
+    if method == "sort" and point_radius == 0 and total_m.ndim == 3:
+        b = total_m.shape[0]
+        n = xyz.shape[0]
+        ndc, valid = jax.vmap(project_points,
+                              in_axes=(None, 0))(xyz, total_m)
+        u = jnp.floor(w * (ndc[..., 0] + 1.0) * 0.5).astype(jnp.int32)
+        v = jnp.floor(h * (1.0 - ndc[..., 1]) * 0.5).astype(jnp.int32)
+        depth = (ndc[..., 2] + 1.0) * 0.5
+        inside = valid & (u >= 0) & (u < w) & (v >= 0) & (v < h)
+        offs = jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0) * (h * w)
+        pix = jnp.where(inside, v * w + u + offs, b * h * w)
+        depth = jnp.where(inside, depth, _FAR)
+        ids = jnp.broadcast_to(
+            jax.lax.broadcasted_iota(jnp.int32, (1, n), 1), (b, n))
+        index, dbuf = _zbuffer_sort(pix.reshape(-1), depth.reshape(-1),
+                                    ids.reshape(-1), b * h * w)
+        return index.reshape(b, h, w), dbuf.reshape(b, h, w)
     f = functools.partial(rasterize, h=h, w=w, point_radius=point_radius,
                           method=method)
     return jax.vmap(f, in_axes=(None, 0))(xyz, total_m)

@@ -62,6 +62,9 @@ class PipelineConfig:
     num_classes: Optional[int] = None
     point_radius: int = 0
     grad_clip: float = 1e3   # elementwise bound + NaN/inf guard
+    use_mesh: bool = False   # MeshTexture sampled at uv2d (ogl.py:41-44)
+    texture_size: int = 512  # mesh-texture resolution (per level /2^i)
+    drop_points: float = 0.0  # per-step point dropout (dynamic.py:235-236)
     dtype: Any = jnp.float32
 
     def pytree__static(self):  # marker; all fields static via closure use
@@ -126,8 +129,15 @@ def create_state(key: jax.Array, cfg: PipelineConfig, n_points: int,
     dummy_pyr = [jnp.zeros((1, h // s, w // s, cfg.descriptor_size),
                            jnp.float32) for s in (1, 2, 4, 8)]
     variables = net.init(k_net, *dummy_pyr, train=False)
-    texture = T.init_point_texture(k_tex, n_points, cfg.descriptor_size,
-                                   texture_init)
+    if cfg.use_mesh:
+        # mesh path: multi-level MeshTexture instead of the point table
+        # (TexturePipeline --use_mesh, reference ogl.py:41-44)
+        texture = tuple(T.init_mesh_texture(
+            k_tex, cfg.texture_size, cfg.descriptor_size,
+            init_method="rand" if texture_init == "rand" else "zeros"))
+    else:
+        texture = T.init_point_texture(k_tex, n_points,
+                                       cfg.descriptor_size, texture_init)
     net_opt, tex_opt = _make_optimizers(cfg)
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
@@ -142,7 +152,7 @@ def create_state(key: jax.Array, cfg: PipelineConfig, n_points: int,
 
 
 def _forward(net: UNet, cfg: PipelineConfig, params, batch_stats, texture,
-             xyz, total_m, train: bool, shape=None):
+             xyz, total_m, train: bool, shape=None, uv2d=None):
     """Rasterize the multi-scale pyramid, gather descriptors, run the net.
 
     Mirrors ``NetAndTexture.forward`` (``src/READ/models/compose.py:
@@ -158,7 +168,22 @@ def _forward(net: UNet, cfg: PipelineConfig, params, batch_stats, texture,
         point_radius=cfg.point_radius)
     pyr = []
     for ix, _depth in levels:
-        x = T.sample_point_texture(texture, ix, cfg.texture_activation)
+        if cfg.use_mesh:
+            # uv2d attribute map -> MeshTexture sample (grid_sample
+            # equivalent), zeros at empty pixels
+            from read_tpu.ops import render_modes as _RM
+            assert uv2d is not None, "mesh path needs per-vertex uv2d"
+            uv_map = _RM.gather_attribute(uv2d, ix)
+            x = T.sample_mesh_texture(list(texture), uv_map,
+                                      cfg.texture_activation)
+            x = x * (ix >= 0)[..., None].astype(x.dtype)
+        elif cfg.point_radius == 0:
+            # fast backward: unique per-image scatter-add
+            x = T.sample_point_texture_unique(texture, ix,
+                                              cfg.texture_activation)
+        else:
+            x = T.sample_point_texture(texture, ix,
+                                       cfg.texture_activation)
         if ss > 1:
             b, hh, ww, c = x.shape
             x = jax.image.resize(x, (b, hh // ss, ww // ss, c), "bilinear")
@@ -215,10 +240,16 @@ def make_train_step(net: UNet, cfg: PipelineConfig, vgg_params):
 
     @jax.jit
     def train_step(state: TrainState, xyz: jax.Array, batch: Dict):
+        if cfg.drop_points > 0:
+            from read_tpu.ops import augment as _A
+            key = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+            xyz = _A.drop_points(key, xyz, cfg.drop_points)
+
         def loss_fn(params, texture):
             out, new_bs, _ = _forward(net, cfg, params, state.batch_stats,
                                       texture, xyz, batch["total_m"],
-                                      train=True)
+                                      train=True,
+                                      uv2d=batch.get("uv2d"))
             loss, metrics = _losses(cfg, vgg_params, out, batch)
             if cfg.reg_weight:
                 loss = loss + T.point_texture_reg_loss(texture,
@@ -240,7 +271,8 @@ def make_train_step(net: UNet, cfg: PipelineConfig, vgg_params):
         lr_tex = cfg.texture_lr * state.lr_scale
         params = jax.tree.map(lambda p, u: p + lr_net * u,
                               state.params, up_net)
-        texture = state.texture + lr_tex * up_tex
+        texture = jax.tree.map(lambda t, u: t + lr_tex * u,
+                               state.texture, up_tex)
         metrics["loss"] = loss
         new_state = state.replace(
             step=state.step + 1, params=params, batch_stats=new_bs,
@@ -258,7 +290,8 @@ def make_eval_step(net: UNet, cfg: PipelineConfig, vgg_params):
         shape = tuple(batch["target"].shape[1:3])
         out, _, _ = _forward(net, cfg, state.params, state.batch_stats,
                              state.texture, xyz, batch["total_m"],
-                             train=False, shape=shape)
+                             train=False, shape=shape,
+                             uv2d=batch.get("uv2d"))
         loss, metrics = _losses(cfg, vgg_params, out, batch)
         metrics["loss"] = loss
         metrics["ssim"] = L.ssim(jnp.clip(out["im_out"], 0, 1),
