@@ -211,7 +211,11 @@ def _losses(cfg: PipelineConfig, vgg_params, out: Dict, batch: Dict):
     loss = cfg.huber_ratio * hub
     metrics["huber_loss"] = hub
     if vgg_params is not None and cfg.vgg_ratio:
-        vgg = V.vgg_loss(vgg_params, im_l, target)
+        # remat: VGG activations (13 taps x pred+target) dominate HBM in
+        # the backward; recomputing them costs ~one extra VGG forward and
+        # saves ~4GB at B=8 crops of 256^2.
+        vgg = jax.checkpoint(
+            lambda p, t: V.vgg_loss(vgg_params, p, t))(im_l, target)
         loss = loss + cfg.vgg_ratio * vgg
         metrics["vgg_loss"] = vgg
     if cfg.num_classes is not None and "seg_out" in out \
@@ -238,7 +242,7 @@ def make_train_step(net: UNet, cfg: PipelineConfig, vgg_params):
     """
     net_opt, tex_opt = _make_optimizers(cfg)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, xyz: jax.Array, batch: Dict):
         if cfg.drop_points > 0:
             from read_tpu.ops import augment as _A

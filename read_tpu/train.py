@@ -188,9 +188,17 @@ def main(argv=None):
     except Exception:
         writer = None
 
+    # derive splat radius from the input-format DSL (e.g. uv_1d_p3 ->
+    # 3x3 splats; p1 = single pixel)
+    from read_tpu.scene.formats import parse_input_format
+    specs = parse_input_format(args.input_format)
+    point_radius = max((sp.point_size - 1) // 2 for sp in specs) \
+        if specs else 0
+
     h, w = parse_size(args.crop_size)
     cfg = TP.PipelineConfig(
         crop_size=(h, w),
+        point_radius=point_radius,
         descriptor_size=args.descriptor_size,
         supersampling=args.supersampling,
         lr=args.lr, texture_lr=args.texture_lr,
