@@ -172,7 +172,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from read_tpu.criterions import vgg as V
-    from read_tpu.data.dataset import BatchIterator
+    from read_tpu.data.dataset import BatchIterator, PrefetchIterator
     from read_tpu.data.scenes import get_datasets
     from read_tpu.pipelines import texture_pipeline as TP
     from read_tpu.utils import ckpt as CK
@@ -264,6 +264,23 @@ def main(argv=None):
                                               batch_stats=bs)
         print(f"loaded net ckpt {args.net_ckpt}")
 
+    if args.resume:
+        # full-state resume: params + textures + optimizer states + step
+        # (upgrade over the reference, which only re-inits optimizers;
+        # SURVEY.md 5.4). One ckpt dir per scene: --resume may point at a
+        # single scene's dir or at the checkpoints/ root.
+        for ds in ds_train:
+            cand = args.resume
+            if not os.path.exists(os.path.join(cand, "state.npz")):
+                cand = CK.latest_checkpoint(args.resume,
+                                            f"ckpt_{ds.name}") or \
+                    os.path.join(args.resume, f"best_{ds.name}")
+            restored, meta = CK.load_checkpoint(cand,
+                                                template=states[ds.id])
+            states[ds.id] = restored
+            print(f"resumed {ds.name} from {cand} "
+                  f"(step {int(restored.step)})")
+
     train_step = TP.make_train_step(net, cfg, vgg_params)
     eval_step = TP.make_eval_step(net, cfg, vgg_params)
     sched = TP.ReduceLROnPlateau(factor=0.5, patience=5)
@@ -282,8 +299,9 @@ def main(argv=None):
         acc = AccumDict()
         step_count = 0
         for ds in ds_train:
-            it = BatchIterator(ds, args.batch_size, shuffle=True,
-                               seed=args.seed + epoch)
+            it = PrefetchIterator(
+                BatchIterator(ds, args.batch_size, shuffle=True,
+                              seed=args.seed + epoch), depth=2)
             xyz = jnp.asarray(
                 np.asarray(ds.scene_data["pointcloud"]["xyz"],
                            np.float32))
