@@ -35,14 +35,20 @@ def drop_points(key: jax.Array, xyz: jax.Array,
     return jnp.where(keep, xyz, _FAR_AWAY)
 
 
+def pixel_jitter_offsets(key: jax.Array, n: int, amount: float,
+                         h: int, w: int) -> jax.Array:
+    """Per-point NDC offsets worth up to ``amount`` *pixels* (uniform in
+    [-amount/2, amount/2], FastRand's ``p-0.5`` transform,
+    ``dynamic.py:176-179``). Feed to ``rasterize(..., ndc_jitter=...)``."""
+    u = jax.random.uniform(key, (n, 2)) - 0.5
+    scale = jnp.asarray([2.0 * amount / w, 2.0 * amount / h], jnp.float32)
+    return u * scale
+
+
 def perturb_pixels(key: jax.Array, ndc: jax.Array, amount: float,
                    h: int, w: int) -> jax.Array:
-    """Jitter projected NDC positions by up to ``amount`` *pixels*
-    (uniform in [-amount/2, amount/2], FastRand's ``p-0.5`` transform,
-    ``dynamic.py:176-179``)."""
+    """Jitter projected NDC positions by up to ``amount`` pixels."""
     if amount <= 0:
         return ndc
-    u = jax.random.uniform(key, (ndc.shape[0], 2)) - 0.5
-    scale = jnp.asarray([2.0 * amount / w, 2.0 * amount / h],
-                        ndc.dtype)
-    return ndc.at[:, :2].add(u * scale)
+    return ndc.at[:, :2].add(
+        pixel_jitter_offsets(key, ndc.shape[0], amount, h, w))

@@ -143,7 +143,8 @@ def _zbuffer_sort(pix: jax.Array, depth: jax.Array, ids: jax.Array,
 
 
 def rasterize(xyz: jax.Array, total_m: jax.Array, h: int, w: int,
-              point_radius: int = 0, method: str = "sort"):
+              point_radius: int = 0, method: str = "sort",
+              ndc_jitter: jax.Array = None):
     """Rasterize one view: ``(index [h,w] int32, depth [h,w] f32)``.
 
     ``point_radius`` r>0 splats each point over a (2r+1)^2 pixel square
@@ -153,8 +154,15 @@ def rasterize(xyz: jax.Array, total_m: jax.Array, h: int, w: int,
     ``method``: 'sort' (vectorized bitonic sort + unique scatter; the TPU
     fast path) or 'scatter' (two scatter-min passes; simpler, kept as the
     reference XLA formulation and for small point counts).
+
+    ``ndc_jitter``: optional ``[N, 2]`` NDC-space offsets added after
+    projection — the screen-space point perturbation augmentation
+    (``READ/gl/programs.py:127-128,352-357``; build offsets with
+    ``ops.augment.perturb_pixels``).
     """
     ndc, valid = project_points(xyz, total_m)
+    if ndc_jitter is not None:
+        ndc = ndc.at[:, :2].add(ndc_jitter)
     if point_radius == 0:
         pix, depth = _pixel_ids(ndc, valid, h, w)
         if method == "sort":
@@ -198,7 +206,8 @@ def rasterize(xyz: jax.Array, total_m: jax.Array, h: int, w: int,
 
 
 def rasterize_batch(xyz: jax.Array, total_m: jax.Array, h: int, w: int,
-                    point_radius: int = 0, method: str = "sort"):
+                    point_radius: int = 0, method: str = "sort",
+                    ndc_jitter: jax.Array = None):
     """Batch of views: ``total_m [B,4,4]`` -> ``(index [B,h,w], depth)``.
 
     Replaces the host loop over the batch at ``point_render.cu:186-192``.
@@ -211,6 +220,8 @@ def rasterize_batch(xyz: jax.Array, total_m: jax.Array, h: int, w: int,
         n = xyz.shape[0]
         ndc, valid = jax.vmap(project_points,
                               in_axes=(None, 0))(xyz, total_m)
+        if ndc_jitter is not None:
+            ndc = ndc.at[:, :, :2].add(ndc_jitter[None])
         u = jnp.floor(w * (ndc[..., 0] + 1.0) * 0.5).astype(jnp.int32)
         v = jnp.floor(h * (1.0 - ndc[..., 1]) * 0.5).astype(jnp.int32)
         depth = (ndc[..., 2] + 1.0) * 0.5
@@ -224,7 +235,7 @@ def rasterize_batch(xyz: jax.Array, total_m: jax.Array, h: int, w: int,
                                     ids.reshape(-1), b * h * w)
         return index.reshape(b, h, w), dbuf.reshape(b, h, w)
     f = functools.partial(rasterize, h=h, w=w, point_radius=point_radius,
-                          method=method)
+                          method=method, ndc_jitter=ndc_jitter)
     return jax.vmap(f, in_axes=(None, 0))(xyz, total_m)
 
 
@@ -283,7 +294,8 @@ def rasterize_pyramid_pooled(xyz: jax.Array, total_m: jax.Array,
                              target_shape: Sequence[int],
                              num_scales: int = 5,
                              point_radius: int = 0,
-                             method: str = "sort"):
+                             method: str = "sort",
+                             ndc_jitter: jax.Array = None):
     """Multi-scale pyramid via one full-res rasterization + exact 2x2
     min-pooling (see :func:`_pool2x2_zbuffer`). Equivalent to
     :func:`rasterize_pyramid` when ``target_shape`` is divisible by
@@ -291,7 +303,8 @@ def rasterize_pyramid_pooled(xyz: jax.Array, total_m: jax.Array,
     variant applies the splat at full resolution only (a coarse-scale
     splat still covers >=1 pixel after pooling)."""
     h0, w0 = target_shape
-    idx, dep = rasterize_batch(xyz, total_m, h0, w0, point_radius, method)
+    idx, dep = rasterize_batch(xyz, total_m, h0, w0, point_radius, method,
+                               ndc_jitter)
     out = [(idx, dep)]
     for _ in range(1, num_scales):
         idx, dep = _pool2x2_zbuffer(idx, dep)

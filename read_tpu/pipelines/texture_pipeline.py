@@ -65,6 +65,7 @@ class PipelineConfig:
     use_mesh: bool = False   # MeshTexture sampled at uv2d (ogl.py:41-44)
     texture_size: int = 512  # mesh-texture resolution (per level /2^i)
     drop_points: float = 0.0  # per-step point dropout (dynamic.py:235-236)
+    perturb_points: float = 0.0  # screen-space jitter, pixels
     dtype: Any = jnp.float32
 
     def pytree__static(self):  # marker; all fields static via closure use
@@ -152,7 +153,8 @@ def create_state(key: jax.Array, cfg: PipelineConfig, n_points: int,
 
 
 def _forward(net: UNet, cfg: PipelineConfig, params, batch_stats, texture,
-             xyz, total_m, train: bool, shape=None, uv2d=None):
+             xyz, total_m, train: bool, shape=None, uv2d=None,
+             ndc_jitter=None):
     """Rasterize the multi-scale pyramid, gather descriptors, run the net.
 
     Mirrors ``NetAndTexture.forward`` (``src/READ/models/compose.py:
@@ -165,7 +167,7 @@ def _forward(net: UNet, cfg: PipelineConfig, params, batch_stats, texture,
     ss = cfg.supersampling
     levels = R.rasterize_pyramid_pooled(
         xyz, total_m, (h * ss, w * ss), num_scales=cfg.num_scales,
-        point_radius=cfg.point_radius)
+        point_radius=cfg.point_radius, ndc_jitter=ndc_jitter)
     pyr = []
     for ix, _depth in levels:
         if cfg.use_mesh:
@@ -244,16 +246,24 @@ def make_train_step(net: UNet, cfg: PipelineConfig, vgg_params):
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, xyz: jax.Array, batch: Dict):
-        if cfg.drop_points > 0:
+        ndc_jitter = None
+        if cfg.drop_points > 0 or cfg.perturb_points > 0:
             from read_tpu.ops import augment as _A
             key = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
-            xyz = _A.drop_points(key, xyz, cfg.drop_points)
+            kd, kp = jax.random.split(key)
+            if cfg.drop_points > 0:
+                xyz = _A.drop_points(kd, xyz, cfg.drop_points)
+            if cfg.perturb_points > 0:
+                h, w = cfg.crop_size
+                ndc_jitter = _A.pixel_jitter_offsets(
+                    kp, xyz.shape[0], cfg.perturb_points, h, w)
 
         def loss_fn(params, texture):
             out, new_bs, _ = _forward(net, cfg, params, state.batch_stats,
                                       texture, xyz, batch["total_m"],
                                       train=True,
-                                      uv2d=batch.get("uv2d"))
+                                      uv2d=batch.get("uv2d"),
+                                      ndc_jitter=ndc_jitter)
             loss, metrics = _losses(cfg, vgg_params, out, batch)
             if cfg.reg_weight:
                 loss = loss + T.point_texture_reg_loss(texture,

@@ -105,6 +105,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--eval-all", dest="eval_all", action="store_true")
     p.add_argument("--eval-dir", dest="eval_dir", type=str, default=None)
     p.add_argument("--freeze-net", dest="freeze_net", action="store_true")
+    p.add_argument("--plateau-patience", dest="plateau_patience",
+                   type=int, default=5)
+    p.add_argument("--plateau-factor", dest="plateau_factor", type=float,
+                   default=0.5)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
@@ -199,6 +203,11 @@ def main(argv=None):
     cfg = TP.PipelineConfig(
         crop_size=(h, w),
         point_radius=point_radius,
+        # device-side augmentations (the reference applies these via GL
+        # vertex buffers in workers; here they live in the jitted step)
+        drop_points=float(args.train_dataset_args.get("drop_points", 0.0)),
+        perturb_points=float(
+            args.train_dataset_args.get("perturb_points", 0.0)),
         descriptor_size=args.descriptor_size,
         supersampling=args.supersampling,
         lr=args.lr, texture_lr=args.texture_lr,
@@ -283,7 +292,8 @@ def main(argv=None):
 
     train_step = TP.make_train_step(net, cfg, vgg_params)
     eval_step = TP.make_eval_step(net, cfg, vgg_params)
-    sched = TP.ReduceLROnPlateau(factor=0.5, patience=5)
+    sched = TP.ReduceLROnPlateau(factor=args.plateau_factor,
+                                 patience=args.plateau_patience)
 
     def sync_shared_net(src_id: int):
         """Propagate the shared net (params/stats/opt) updated while

@@ -155,6 +155,21 @@ def test_perturb_pixels(rng):
                                np.asarray(ndc[:, 2]))
 
 
+def test_rasterize_with_jitter_changes_pixels(rng):
+    xyz, m, idx, dep = _setup(rng, n=300)
+    jit = A.pixel_jitter_offsets(jax.random.PRNGKey(2), 300, 3.0, 32, 32)
+    idx2, _ = R.rasterize(xyz, m, 32, 32, ndc_jitter=jit)
+    assert (np.asarray(idx2) != np.asarray(idx)).any()
+    # zero jitter is a no-op
+    idx3, _ = R.rasterize(xyz, m, 32, 32,
+                          ndc_jitter=jnp.zeros((300, 2), jnp.float32))
+    np.testing.assert_array_equal(np.asarray(idx3), np.asarray(idx))
+    # batch path accepts jitter too
+    idx4, _ = R.rasterize_batch(xyz, jnp.asarray(m)[None], 32, 32,
+                                ndc_jitter=jit)
+    np.testing.assert_array_equal(np.asarray(idx4[0]), np.asarray(idx2))
+
+
 def test_pca_color(rng):
     from read_tpu.render import pca_color
     desc = rng.normal(size=(1000, 8)).astype(np.float32)
