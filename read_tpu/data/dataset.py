@@ -31,10 +31,10 @@ The output contract per item feeds the fused train step directly:
 
 from __future__ import annotations
 
-import os
-from dataclasses import dataclass, field
+
+
 from functools import lru_cache
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import cv2
 import numpy as np

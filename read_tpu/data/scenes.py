@@ -18,7 +18,7 @@ import os
 import re
 from typing import List, Optional, Tuple
 
-import numpy as np
+
 import yaml
 
 from read_tpu.data.dataset import ViewDataset

@@ -26,7 +26,7 @@ Everything is a single jitted shard_map step: no host round-trips.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -68,9 +68,6 @@ class PipelineConfig:
     perturb_points: float = 0.0  # screen-space jitter, pixels
     dtype: Any = jnp.float32
 
-    def pytree__static(self):  # marker; all fields static via closure use
-        return self
-
 
 class TrainState(struct.PyTreeNode):
     step: jax.Array

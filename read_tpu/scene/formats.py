@@ -15,7 +15,7 @@ plain dataclass the TPU renderer consumes directly.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional
 
 __all__ = ["RenderSpec", "parse_input_string", "generate_input_string",

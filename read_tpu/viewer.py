@@ -27,7 +27,7 @@ trajectory without a window (CI smoke path).
 from __future__ import annotations
 
 import argparse
-import os
+
 import sys
 import time
 
