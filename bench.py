@@ -26,6 +26,11 @@ def main():
 
     fn, args = entry()
     jfn = jax.jit(fn)
+    # Commit every argument to the device: the axon runtime may offload
+    # host-created buffers, and an uncommitted ~180MB arg re-uploads
+    # through the tunnel on EVERY call (measured 6.5x slowdown).
+    args = jax.tree.map(
+        lambda x: jax.device_put(x) if hasattr(x, "shape") else x, args)
     out = jfn(*args)
     np.asarray(out)  # force through the tunnel (block_until_ready can
     # return early on the axon platform)

@@ -361,6 +361,15 @@ def main(argv=None):
                     batch["mask"] = jnp.asarray(item["mask"][None])
                 img, metrics = eval_step(st, xyz, batch)
                 acc.update({k: float(v) for k, v in metrics.items()})
+                if writer and i == 0 and n_dumped == 0:
+                    # side-by-side prediction|target grid per scene
+                    # (reference tensorboard image logging,
+                    # train.py:308-329)
+                    grid = np.concatenate(
+                        [np.clip(np.asarray(img[0]), 0, 1),
+                         np.asarray(batch["target"][0])], axis=1)
+                    writer.add_image(f"val/{ds.name}",
+                                     grid.transpose(2, 0, 1), epoch)
                 if dump_dir and n_dumped < args.log_num_images * 8:
                     import imageio.v2 as imageio
                     os.makedirs(dump_dir, exist_ok=True)
