@@ -26,11 +26,14 @@ def main():
 
     fn, args = entry()
     jfn = jax.jit(fn)
-    # Commit every argument to the device: the axon runtime may offload
-    # host-created buffers, and an uncommitted ~180MB arg re-uploads
-    # through the tunnel on EVERY call (measured 6.5x slowdown).
+    # Commit every argument to the device: `device_put` WITHOUT an
+    # explicit device does not commit the buffer, and an uncommitted
+    # ~180MB arg re-uploads through the tunnel on EVERY call (measured
+    # 6.5x slowdown). Passing the device makes the placement sticky.
+    dev = jax.devices()[0]
     args = jax.tree.map(
-        lambda x: jax.device_put(x) if hasattr(x, "shape") else x, args)
+        lambda x: jax.device_put(x, dev) if hasattr(x, "shape") else x,
+        args)
     out = jfn(*args)
     np.asarray(out)  # force through the tunnel (block_until_ready can
     # return early on the axon platform)

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["VGG_CHANNELS", "vgg19_features", "vgg_loss", "load_vgg_params",
-           "random_vgg_params"]
+           "random_vgg_params", "partial_conv2d"]
 
 # Conv output channels for the first 13 convs (through conv5_1), with pool
 # positions after convs 2, 4, 8, 12 (VGG19 topology).
@@ -101,13 +101,44 @@ def _normalize(x: jax.Array, backend: str) -> jax.Array:
     raise ValueError(backend)
 
 
+def partial_conv2d(x: jax.Array, mask: jax.Array, w: jax.Array,
+                   b: jax.Array) -> jax.Array:
+    """NVIDIA partial convolution, single-channel mask variant
+    (``READ/models/conv.py:15-86``): the conv sees ``x*mask``, outputs are
+    renormalized by ``winsize / sum(mask in window)`` and re-masked.
+
+    Args:
+      x: ``[B, H, W, Cin]``; mask: ``[B, H, W, 1]`` float 0/1;
+      w: ``[kh, kw, Cin, Cout]``; b: ``[Cout]``.
+    """
+    kh, kw = w.shape[0], w.shape[1]
+    ones = jnp.ones((kh, kw, 1, 1), x.dtype)
+    # window occupancy (conv.py:62): no gradient through the mask path
+    upd = jax.lax.stop_gradient(jax.lax.conv_general_dilated(
+        mask, ones, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")))
+    winsize = float(kh * kw)  # slide_winsize with a 1-channel mask
+    ratio = winsize / (upd + 1e-8)
+    upd_c = jnp.clip(upd, 0.0, 1.0)
+    ratio = ratio * upd_c
+    raw = jax.lax.conv_general_dilated(
+        x * mask, w, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+    # bias excluded from the renormalization (conv.py:76-79)
+    return ((raw - b) * ratio + b) * upd_c
+
+
 def vgg19_features(params: list, x: jax.Array,
-                   backend: str = "caffe") -> list:
+                   backend: str = "caffe",
+                   mask: Optional[jax.Array] = None) -> list:
     """ReLU feature taps of the 13-conv VGG19 prefix.
 
     Args:
       params: list of 13 ``(w [3,3,cin,cout], b [cout])`` tuples.
       x: ``[B, H, W, 3]`` RGB in [0, 1].
+      mask: optional ``[B, H, W, 1]`` validity mask — replaces the FIRST
+        conv with a partial conv (``VGGLoss(partialconv=True)``,
+        ``vgg_loss.py:58-62,101-103``).
 
     Returns list of 13 feature maps (after each ReLU), AvgPool 2x2 between
     blocks (the reference's MaxPool->AvgPool swap, ``vgg_loss.py:73-74``).
@@ -115,9 +146,12 @@ def vgg19_features(params: list, x: jax.Array,
     h = _normalize(x, backend)
     taps = []
     for i, (w, b) in enumerate(params, start=1):
-        h = jax.lax.conv_general_dilated(
-            h, w, window_strides=(1, 1), padding="SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+        if i == 1 and mask is not None:
+            h = partial_conv2d(h, mask, w, b)
+        else:
+            h = jax.lax.conv_general_dilated(
+                h, w, window_strides=(1, 1), padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
         h = jax.nn.relu(h)
         taps.append(h)
         if i in _POOL_AFTER:
@@ -128,10 +162,21 @@ def vgg19_features(params: list, x: jax.Array,
 
 
 def vgg_loss(params: list, pred: jax.Array, target: jax.Array,
-             backend: str = "caffe") -> jax.Array:
-    """Sum of L1 distances over the 13 ReLU taps (``vgg_loss.py:90-111``)."""
-    fp = vgg19_features(params, pred, backend)
-    ft = vgg19_features(params, target, backend)
+             backend: str = "caffe",
+             partialconv: bool = False) -> jax.Array:
+    """Sum of L1 distances over the 13 ReLU taps (``vgg_loss.py:90-111``).
+
+    ``partialconv=True`` derives a validity mask from the target
+    (``mask = target.sum(channels) > eps``, ``vgg_loss.py:93-96``) and
+    runs both sides' first conv as a partial conv — the masked
+    perceptual-loss variant used for masked-background scenes.
+    """
+    mask = None
+    if partialconv:
+        mask = (jnp.sum(target, axis=-1, keepdims=True)
+                > 1e-9).astype(pred.dtype)
+    fp = vgg19_features(params, pred, backend, mask=mask)
+    ft = vgg19_features(params, target, backend, mask=mask)
     loss = 0.0
     for a, b in zip(fp, ft):
         loss = loss + jnp.mean(jnp.abs(a - b))

@@ -69,20 +69,26 @@ class BasicConv(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         p = int(self.dilation * (self.kernel_size - 1) / 2)
-        kw = dict(
-            features=self.out_channels,
+        # The reference computes conv_f(x) and conv_m(x) as two separate
+        # convs over the same input (``unet.py:10-42``). Mathematically
+        # that is one conv with 2x the output channels, split in half —
+        # fusing halves dispatch count and doubles MXU occupancy at
+        # these 32-256 channel widths (same parameters, same math).
+        fm = nn.Conv(
+            name="conv_fm",
+            features=2 * self.out_channels,
             kernel_size=(self.kernel_size, self.kernel_size),
             strides=(self.stride, self.stride),
             kernel_dilation=(self.dilation, self.dilation),
             padding=[(p, p), (p, p)],
             dtype=self.dtype,
             param_dtype=jnp.float32,
-        )
-        f = nn.Conv(name="conv_f", **kw)(x.astype(self.dtype))
+        )(x.astype(self.dtype))
+        f = fm[..., :self.out_channels]
+        m = fm[..., self.out_channels:]
         if self.relu:
             f = nn.elu(f)
-        m = jax.nn.sigmoid(nn.Conv(name="conv_m", **kw)(x.astype(self.dtype)))
-        out = f * m
+        out = f * jax.nn.sigmoid(m)
         # use_fast_variance=False: the E[x^2]-E[x]^2 formulation loses to
         # cancellation on constant feature maps (the zero-init texture
         # makes whole pyramids constant at step 0) and its backward emits

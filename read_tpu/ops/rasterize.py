@@ -51,18 +51,24 @@ __all__ = [
 _FAR = jnp.float32(2.0)
 
 
-def project_points(xyz: jax.Array, total_m: jax.Array):
+def project_points(xyz: jax.Array, total_m: jax.Array,
+                   return_clip_z: bool = False):
     """Project world points to NDC.
 
     Args:
       xyz: ``[N, 3]`` float32 world positions.
       total_m: ``[4, 4]`` row-major world->clip matrix
         (``proj @ inv(view)``, see ``scene.camera.total_matrix``).
+      return_clip_z: also return the pre-divide clip-space z — the
+        quantity the GL vertex shader's z-relative point sizing divides
+        by (``gl_PointSize = size / gl_Position.z``,
+        ``READ/gl/programs.py:188-192``).
 
     Returns:
       ``(ndc, valid)``: ``ndc [N, 3]`` post-divide positions and a boolean
       ``valid [N]`` mask of points inside the NDC cube (parity with the
-      clip test at ``point_render.cu:139``).
+      clip test at ``point_render.cu:139``); with ``return_clip_z`` also
+      ``clip_z [N]``.
     """
     xyz = xyz.astype(jnp.float32)
     m = total_m.astype(jnp.float32)
@@ -82,6 +88,8 @@ def project_points(xyz: jax.Array, total_m: jax.Array):
     # w <= 0 means the point is at or behind the eye plane; after the
     # divide such points can land inside the cube spuriously, so reject.
     valid &= w > 0
+    if return_clip_z:
+        return ndc, valid, clip[:, 2]
     return ndc, valid
 
 
@@ -144,12 +152,31 @@ def _zbuffer_sort(pix: jax.Array, depth: jax.Array, ids: jax.Array,
 
 def rasterize(xyz: jax.Array, total_m: jax.Array, h: int, w: int,
               point_radius: int = 0, method: str = "sort",
-              ndc_jitter: jax.Array = None):
+              ndc_jitter: jax.Array = None,
+              point_sizes: jax.Array = None,
+              relative_size: bool = False,
+              min_point_size: float = 1.0):
     """Rasterize one view: ``(index [h,w] int32, depth [h,w] f32)``.
 
     ``point_radius`` r>0 splats each point over a (2r+1)^2 pixel square
     (GL point-size semantics, ``READ/gl/programs.py:183-192``); each
-    covered pixel still depth-tests independently.
+    covered pixel still depth-tests independently. With ``point_sizes``
+    or ``relative_size`` it is the STATIC cap on the splat radius (the
+    unroll bound); effective per-point sizes are clamped to
+    ``2*point_radius+1``.
+
+    ``point_sizes``: optional ``[N]`` per-point pixel sizes (the GL
+    per-point ``a_point_size`` buffer, active when the global size is
+    <1; ``programs.py:183-186``; fed from the scene manifest's
+    ``point_sizes`` key, ``gl/utils.py:330-336``).
+
+    ``relative_size``: the ``ps`` (z-scaled splat) mode —
+    ``size = max(min_point_size, size / clip_z)``
+    (``programs.py:188-192``).
+
+    Coverage rule: a point of effective size ``s`` covers pixel offsets
+    with ``max(|dx|, |dy|) <= (s-1)/2`` — exact GL parity for odd
+    integer sizes; fractional sizes round to the nearest odd square.
 
     ``method``: 'sort' (vectorized bitonic sort + unique scatter; the TPU
     fast path) or 'scatter' (two scatter-min passes; simpler, kept as the
@@ -160,10 +187,11 @@ def rasterize(xyz: jax.Array, total_m: jax.Array, h: int, w: int,
     (``READ/gl/programs.py:127-128,352-357``; build offsets with
     ``ops.augment.perturb_pixels``).
     """
-    ndc, valid = project_points(xyz, total_m)
+    varying = point_sizes is not None or relative_size
+    ndc, valid, clip_z = project_points(xyz, total_m, return_clip_z=True)
     if ndc_jitter is not None:
         ndc = ndc.at[:, :2].add(ndc_jitter)
-    if point_radius == 0:
+    if point_radius == 0 and not varying:
         pix, depth = _pixel_ids(ndc, valid, h, w)
         if method == "sort":
             n = pix.shape[0]
@@ -180,7 +208,20 @@ def rasterize(xyz: jax.Array, total_m: jax.Array, h: int, w: int,
     depth0 = (ndc[:, 2] + 1.0) * 0.5
     n = xyz.shape[0]
     ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
-    dbuf = jnp.full((h * w + 1,), _FAR, jnp.float32)
+    rad = None
+    if varying:
+        if point_sizes is not None:
+            base = jnp.asarray(point_sizes, jnp.float32)
+        else:
+            base = jnp.full((n,), float(2 * point_radius + 1),
+                            jnp.float32)
+        if relative_size:
+            size = jnp.maximum(jnp.float32(min_point_size),
+                               base / jnp.maximum(clip_z, 1e-6))
+        else:
+            size = base
+        size = jnp.minimum(size, float(2 * point_radius + 1))
+        rad = (size - 1.0) * 0.5
     offsets = [(dy, dx)
                for dy in range(-point_radius, point_radius + 1)
                for dx in range(-point_radius, point_radius + 1)]
@@ -188,6 +229,8 @@ def rasterize(xyz: jax.Array, total_m: jax.Array, h: int, w: int,
     for dy, dx in offsets:
         uu, vv = u + dx, v + dy
         inside = valid & (uu >= 0) & (uu < w) & (vv >= 0) & (vv < h)
+        if rad is not None and (dy or dx):
+            inside &= rad >= (max(abs(dy), abs(dx)) - 1e-4)
         pix_all.append(jnp.where(inside, vv * w + uu, h * w))
         dep_all.append(jnp.where(inside, depth0, _FAR))
     pix = jnp.concatenate(pix_all)
@@ -196,6 +239,7 @@ def rasterize(xyz: jax.Array, total_m: jax.Array, h: int, w: int,
     if method == "sort":
         index, dout = _zbuffer_sort(pix, dep, ids_rep, h * w)
         return index.reshape(h, w), dout.reshape(h, w)
+    dbuf = jnp.full((h * w + 1,), _FAR, jnp.float32)
     dbuf = dbuf.at[pix].min(dep, mode="drop")
     win = dep <= dbuf[pix]
     ibuf = jnp.full((h * w + 1,), jnp.iinfo(jnp.int32).max, jnp.int32)
@@ -207,7 +251,10 @@ def rasterize(xyz: jax.Array, total_m: jax.Array, h: int, w: int,
 
 def rasterize_batch(xyz: jax.Array, total_m: jax.Array, h: int, w: int,
                     point_radius: int = 0, method: str = "sort",
-                    ndc_jitter: jax.Array = None):
+                    ndc_jitter: jax.Array = None,
+                    point_sizes: jax.Array = None,
+                    relative_size: bool = False,
+                    min_point_size: float = 1.0):
     """Batch of views: ``total_m [B,4,4]`` -> ``(index [B,h,w], depth)``.
 
     Replaces the host loop over the batch at ``point_render.cu:186-192``.
@@ -215,6 +262,14 @@ def rasterize_batch(xyz: jax.Array, total_m: jax.Array, h: int, w: int,
     ids with ``view * h * w`` — a bitonic sort is strongly sublinear in
     practice on TPU, so one BxN sort beats B separate N sorts.
     """
+    varying = point_sizes is not None or relative_size
+    if varying:
+        f = functools.partial(
+            rasterize, h=h, w=w, point_radius=point_radius,
+            method=method, ndc_jitter=ndc_jitter,
+            point_sizes=point_sizes, relative_size=relative_size,
+            min_point_size=min_point_size)
+        return jax.vmap(lambda m: f(xyz, m))(total_m)
     if method == "sort" and point_radius == 0 and total_m.ndim == 3:
         b = total_m.shape[0]
         n = xyz.shape[0]
@@ -295,7 +350,10 @@ def rasterize_pyramid_pooled(xyz: jax.Array, total_m: jax.Array,
                              num_scales: int = 5,
                              point_radius: int = 0,
                              method: str = "sort",
-                             ndc_jitter: jax.Array = None):
+                             ndc_jitter: jax.Array = None,
+                             point_sizes: jax.Array = None,
+                             relative_size: bool = False,
+                             min_point_size: float = 1.0):
     """Multi-scale pyramid via one full-res rasterization + exact 2x2
     min-pooling (see :func:`_pool2x2_zbuffer`). Equivalent to
     :func:`rasterize_pyramid` when ``target_shape`` is divisible by
@@ -304,7 +362,9 @@ def rasterize_pyramid_pooled(xyz: jax.Array, total_m: jax.Array,
     splat still covers >=1 pixel after pooling)."""
     h0, w0 = target_shape
     idx, dep = rasterize_batch(xyz, total_m, h0, w0, point_radius, method,
-                               ndc_jitter)
+                               ndc_jitter, point_sizes=point_sizes,
+                               relative_size=relative_size,
+                               min_point_size=min_point_size)
     out = [(idx, dep)]
     for _ in range(1, num_scales):
         idx, dep = _pool2x2_zbuffer(idx, dep)

@@ -24,7 +24,6 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 __all__ = ["gather_attribute", "render_mode"]
 
@@ -55,32 +54,32 @@ def render_mode(mode: str, index_map: jax.Array, depth_map: jax.Array,
     if mode == "depth":
         return depth_map[..., None]
     if mode == "colors":
-        rgb = jnp.asarray(np.asarray(pointcloud["rgb"], np.float32))
+        rgb = jnp.asarray(pointcloud["rgb"], jnp.float32)
         return gather_attribute(rgb, index_map)
     if mode == "xyz":
-        xyz_c = jnp.asarray(np.asarray(pointcloud["xyz_c"], np.float32))
+        xyz_c = jnp.asarray(pointcloud["xyz_c"], jnp.float32)
         return gather_attribute(xyz_c, index_map)
     if mode == "uv_2d":
-        uv = jnp.asarray(np.asarray(pointcloud["uv2d"], np.float32))
+        uv = jnp.asarray(pointcloud["uv2d"], jnp.float32)
         return gather_attribute(uv, index_map)
     if mode == "labels":
         lab = pointcloud.get("labels")
         if lab is None:
             return jnp.zeros(index_map.shape + (1,), jnp.float32)
-        lab = jnp.asarray(np.asarray(lab, np.float32)).reshape(-1, 1)
+        lab = jnp.asarray(lab, jnp.float32).reshape(-1, 1)
         return gather_attribute(lab, index_map)
     if mode.startswith("normals"):
         normals = pointcloud.get("normals")
         if normals is None:
             return jnp.zeros(index_map.shape + (3,), jnp.float32)
-        normals = jnp.asarray(np.asarray(normals, np.float32))
+        normals = jnp.asarray(normals, jnp.float32)
         sub = mode.split("_")[1]
         if sub == "m":  # model space as colors
             return gather_attribute(normals * 0.5 + 0.5, index_map)
         assert view_matrix is not None, f"{mode} needs a view matrix"
         vm = jnp.asarray(view_matrix, jnp.float32)
         rot = jnp.linalg.inv(vm)[:3, :3]
-        xyz = jnp.asarray(np.asarray(pointcloud["xyz"], np.float32))
+        xyz = jnp.asarray(pointcloud["xyz"], jnp.float32)
         cam_pos = vm[:3, 3]
         if sub == "l":  # view-space normals
             n_view = normals @ rot.T

@@ -38,7 +38,8 @@ from read_tpu.ops import rasterize as R
 from read_tpu.pipelines import texture_pipeline as TP
 
 __all__ = ["make_mesh", "sharded_rasterize_pyramid", "sharded_gather",
-           "make_sharded_train_step", "shard_scene", "shard_state"]
+           "make_sharded_train_step", "shard_scene", "shard_state",
+           "shard_points", "prepare_scene_state", "unshard_state"]
 
 _INT_MAX = jnp.iinfo(jnp.int32).max
 
@@ -156,6 +157,67 @@ def shard_state(mesh: Mesh, state: TP.TrainState) -> TP.TrainState:
                              state.net_opt),
         tex_opt=put_tex_tree(state.tex_opt),
         lr_scale=jax.device_put(state.lr_scale, repl),
+    )
+
+
+def shard_points(mesh: Mesh, xyz: np.ndarray) -> jax.Array:
+    """Place a point cloud sharded over the ``points`` axis, padding N
+    to a multiple of the axis size with far-away dummy points."""
+    n_shards = mesh.shape["points"]
+    pad = (-xyz.shape[0]) % n_shards
+    if pad:
+        xyz = np.concatenate(
+            [np.asarray(xyz), np.full((pad, 3), 1e9, np.float32)])
+    return jax.device_put(jnp.asarray(xyz, jnp.float32),
+                          NamedSharding(mesh, P("points", None)))
+
+
+def _pad_rows(x, pad):
+    return jnp.concatenate(
+        [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+
+
+def prepare_scene_state(mesh: Mesh, state: TP.TrainState) -> TP.TrainState:
+    """Pad the texture table (and its optimizer state) to the points-axis
+    size and shard the whole state for ``make_sharded_train_step``.
+
+    The train CLI's ``--mesh`` entry point: takes the unsharded state
+    ``create_state`` built (or a resumed one) and returns its
+    mesh-resident version."""
+    n_shards = mesh.shape["points"]
+    n = state.texture.shape[0]
+    pad = (-n) % n_shards
+    if pad:
+        tex_shape = state.texture.shape
+        state = state.replace(
+            texture=_pad_rows(state.texture, pad),
+            tex_opt=jax.tree.map(
+                lambda x: _pad_rows(x, pad)
+                if getattr(x, "shape", None) == tex_shape else x,
+                state.tex_opt))
+    return shard_state(mesh, state)
+
+
+def unshard_state(state: TP.TrainState, n_points: int) -> TP.TrainState:
+    """Gather a mesh-sharded state to host and strip the texture padding
+    — the inverse of ``prepare_scene_state`` (for eval / checkpoints /
+    the single-chip viewer)."""
+    state = jax.device_get(state)
+    tex_shape = state.texture.shape
+
+    def strip(x):
+        if getattr(x, "shape", None) == tex_shape:
+            return jnp.asarray(x[:n_points])
+        return jnp.asarray(x)
+
+    return TP.TrainState(
+        step=jnp.asarray(state.step),
+        params=jax.tree.map(jnp.asarray, state.params),
+        batch_stats=jax.tree.map(jnp.asarray, state.batch_stats),
+        texture=jnp.asarray(state.texture[:n_points]),
+        net_opt=jax.tree.map(jnp.asarray, state.net_opt),
+        tex_opt=jax.tree.map(strip, state.tex_opt),
+        lr_scale=jnp.asarray(state.lr_scale),
     )
 
 

@@ -5,10 +5,11 @@ Parity target: ``READ/pipelines/ogl.py:199-227`` + ``RGBTexture``
 (3-channel, sigmoid) sampled at rendered uv_2d coordinates, optimized
 with RMSprop against the target photos.
 
-The reference rasterizes mesh uv coordinates with GL; here uv maps come
-from the point rasterizer + per-vertex uv gather (``ops.render_modes``)
-— exact for dense vertex sets; triangle interiors are TODO alongside the
-mesh triangle rasterizer.
+The reference rasterizes mesh uv coordinates with GL (indexed
+``GL_TRIANGLES``, ``READ/gl/render.py:69-73``); here uv maps come either
+from the triangle rasterizer (``ops.rasterize_mesh`` — full interiors
+with perspective-correct uv interpolation; pass ``faces``) or, for raw
+point clouds, from the point rasterizer + per-vertex uv gather.
 """
 
 from __future__ import annotations
@@ -49,15 +50,32 @@ def create_rgb_texture_state(key: jax.Array, texture_size: int,
 
 def make_rgb_texture_step(opt, pointcloud: Dict, h: int, w: int,
                           reg_weight: float = 0.0,
-                          grad_clip: float = 1e3):
+                          grad_clip: float = 1e3,
+                          faces=None, mesh_samples: int = 8):
+    """``faces [T,3]`` switches uv-map generation from vertex splats to
+    the triangle rasterizer (full interiors, ``ops.rasterize_mesh``)."""
     uv2d = jnp.asarray(np.asarray(pointcloud["uv2d"], np.float32))
+    faces_j = None if faces is None else jnp.asarray(
+        np.asarray(faces, np.int32))
+
+    def _uv_and_mask(xyz, total_m):
+        if faces_j is None:
+            idx, _ = R.rasterize_batch(xyz, total_m, h, w)
+            uv_map = RM.gather_attribute(uv2d, idx)
+        else:
+            from read_tpu.ops import rasterize_mesh as RMesh
+            idx, _ = RMesh.rasterize_mesh_batch(
+                xyz, faces_j, total_m, h, w, samples=mesh_samples)
+            uv_map = jax.vmap(
+                lambda fi, m: RMesh.interpolate_uv(xyz, faces_j, uv2d,
+                                                   m, fi))(idx, total_m)
+        mask = (idx >= 0)[..., None].astype(jnp.float32)
+        return uv_map, mask
 
     @jax.jit
     def step(state, xyz, batch):
         def loss_fn(tables):
-            idx, dep = R.rasterize_batch(xyz, batch["total_m"], h, w)
-            uv_map = RM.gather_attribute(uv2d, idx)
-            mask = (idx >= 0)[..., None].astype(jnp.float32)
+            uv_map, mask = _uv_and_mask(xyz, batch["total_m"])
             pred = rgb_texture_forward(tables, uv_map, mask)
             loss = TP.L.huber_loss(pred, batch["target"] * mask)
             if reg_weight:

@@ -55,18 +55,40 @@ class PipelineConfig:
     huber_ratio: float = 1e4      # src/train.py:549-550
     seg_ratio: float = 3e2        # src/train.py:548
     vgg_ratio: float = 1.0
+    vgg_partialconv: bool = False  # masked VGG (vgg_loss.py:58-62,93-96)
     reg_weight: float = 0.0
     texture_activation: str = "none"
     use_mask: bool = False
     masked_background: bool = False
     num_classes: Optional[int] = None
     point_radius: int = 0
+    relative_point_size: bool = False  # 'ps' z-scaled splats
+    min_point_size: float = 1.0        # programs.py:188-192 floor
     grad_clip: float = 1e3   # elementwise bound + NaN/inf guard
     use_mesh: bool = False   # MeshTexture sampled at uv2d (ogl.py:41-44)
     texture_size: int = 512  # mesh-texture resolution (per level /2^i)
     drop_points: float = 0.0  # per-step point dropout (dynamic.py:235-236)
     perturb_points: float = 0.0  # screen-space jitter, pixels
+    # extra (non-neural) input modalities interleaved with the descriptor
+    # pyramid, one tuple of render-mode names per scale — the reference's
+    # mixed-input grouping (``compose.py:136-176``: non-uv keys between
+    # uv keys concat BEFORE the texture sample). Same modes required at
+    # every scale (one UNet num_input_channels).
+    extra_modes: Tuple[Tuple[str, ...], ...] = ()
+    # replace rendered 'labels' maps with the ground-truth label image
+    # masked by rendered-label occupancy (``dynamic.py:243-249``)
+    label_in_input: bool = False
     dtype: Any = jnp.float32
+
+    @property
+    def net_in_channels(self) -> int:
+        """UNet input channels = descriptors + extra modality channels."""
+        extra = 0
+        if self.extra_modes:
+            extra = sum(
+                1 if m in ("depth", "labels", "uv_1d") else 3
+                for m in self.extra_modes[0])
+        return self.descriptor_size + extra
 
 
 class TrainState(struct.PyTreeNode):
@@ -120,11 +142,11 @@ def create_state(key: jax.Array, cfg: PipelineConfig, n_points: int,
     is additionally protected by the gradient guard in the train step.
     """
     if net is None:
-        net = UNet(num_input_channels=cfg.descriptor_size,
+        net = UNet(num_input_channels=cfg.net_in_channels,
                    num_classes=cfg.num_classes, dtype=cfg.dtype)
     h, w = cfg.crop_size
     k_tex, k_net = jax.random.split(key)
-    dummy_pyr = [jnp.zeros((1, h // s, w // s, cfg.descriptor_size),
+    dummy_pyr = [jnp.zeros((1, h // s, w // s, cfg.net_in_channels),
                            jnp.float32) for s in (1, 2, 4, 8)]
     variables = net.init(k_net, *dummy_pyr, train=False)
     if cfg.use_mesh:
@@ -149,24 +171,84 @@ def create_state(key: jax.Array, cfg: PipelineConfig, n_points: int,
     return state, net
 
 
+def _extra_maps(cfg: PipelineConfig, modes, ix, dep, pointcloud,
+                gt_label=None):
+    """Non-neural modality maps interleaved with the descriptor pyramid
+    (``compose.py:146-156``: extra inputs concat BEFORE the texture
+    sample). With ``label_in_input``, rendered 'labels' maps are replaced
+    by the ground-truth label image masked by rendered-label occupancy
+    (``dynamic.py:243-249``)."""
+    from read_tpu.ops import render_modes as _RM
+    maps = []
+    for mode in modes:
+        if mode in ("normals_l", "normals_r", "normals_d"):
+            raise NotImplementedError(
+                f"view-dependent extra mode {mode!r} in the neural input "
+                "is not supported (needs per-item view matrices)")
+        rendered = _RM.render_mode(mode, ix, dep, pointcloud or {})
+        if mode == "labels" and cfg.label_in_input and gt_label is not None:
+            occ = (rendered[..., 0] > 1e-9).astype(jnp.float32)
+            f = gt_label.shape[1] // ix.shape[1]
+            lab = gt_label[:, ::f, ::f].astype(jnp.float32)
+            rendered = (lab * occ)[..., None]
+        maps.append(rendered)
+    return maps
+
+
 def _forward(net: UNet, cfg: PipelineConfig, params, batch_stats, texture,
              xyz, total_m, train: bool, shape=None, uv2d=None,
-             ndc_jitter=None):
+             ndc_jitter=None, point_sizes=None, faces=None,
+             pointcloud=None, gt_label=None):
     """Rasterize the multi-scale pyramid, gather descriptors, run the net.
 
     Mirrors ``NetAndTexture.forward`` (``src/READ/models/compose.py:
     134-192``) without its per-item python loop: the whole batch renders
     and runs in one program. ``shape`` overrides the render size (eval
     renders full frames at the /16-aligned viewport, ``src:139-143``,
-    while training renders crops).
+    while training renders crops). ``point_sizes`` is the scene
+    manifest's optional per-point size buffer (``gl/utils.py:330-336``).
+    ``faces`` (with ``use_mesh``) renders uv maps with the triangle
+    rasterizer — full interiors, GL parity (``gl/render.py:69-73``) —
+    instead of vertex splats.
     """
     h, w = shape or cfg.crop_size
     ss = cfg.supersampling
+    if cfg.use_mesh and faces is not None:
+        # per-scale triangle rasterization: interpolated uv needs the
+        # render resolution at raster time, so coarse levels rasterize
+        # directly rather than pooling the full-res winners
+        from read_tpu.ops import rasterize_mesh as _RMesh
+        pyr = []
+        for i in range(cfg.num_scales):
+            hi, wi = (h * ss) // (2 ** i), (w * ss) // (2 ** i)
+            fi, _dep = _RMesh.rasterize_mesh_batch(xyz, faces, total_m,
+                                                   hi, wi)
+            uv_map = jax.vmap(
+                lambda f, m: _RMesh.interpolate_uv(xyz, faces, uv2d,
+                                                   m, f))(fi, total_m)
+            x = T.sample_mesh_texture(list(texture), uv_map,
+                                      cfg.texture_activation)
+            x = x * (fi >= 0)[..., None].astype(x.dtype)
+            if ss > 1:
+                b, hh, ww, c = x.shape
+                x = jax.image.resize(x, (b, hh // ss, ww // ss, c),
+                                     "bilinear")
+            pyr.append(x)
+        variables = {"params": params, "batch_stats": batch_stats}
+        if train:
+            out, mutated = net.apply(variables, *pyr, train=True,
+                                     mutable=["batch_stats"])
+            return out, mutated["batch_stats"], pyr
+        out = net.apply(variables, *pyr, train=False)
+        return out, batch_stats, pyr
     levels = R.rasterize_pyramid_pooled(
         xyz, total_m, (h * ss, w * ss), num_scales=cfg.num_scales,
-        point_radius=cfg.point_radius, ndc_jitter=ndc_jitter)
+        point_radius=cfg.point_radius, ndc_jitter=ndc_jitter,
+        point_sizes=point_sizes,
+        relative_size=cfg.relative_point_size,
+        min_point_size=cfg.min_point_size)
     pyr = []
-    for ix, _depth in levels:
+    for lvl, (ix, _depth) in enumerate(levels):
         if cfg.use_mesh:
             # uv2d attribute map -> MeshTexture sample (grid_sample
             # equivalent), zeros at empty pixels
@@ -183,6 +265,10 @@ def _forward(net: UNet, cfg: PipelineConfig, params, batch_stats, texture,
         else:
             x = T.sample_point_texture(texture, ix,
                                        cfg.texture_activation)
+        if cfg.extra_modes:
+            ex = _extra_maps(cfg, cfg.extra_modes[lvl], ix, _depth,
+                             pointcloud, gt_label)
+            x = jnp.concatenate(list(ex) + [x], axis=-1)
         if ss > 1:
             b, hh, ww, c = x.shape
             x = jax.image.resize(x, (b, hh // ss, ww // ss, c), "bilinear")
@@ -214,7 +300,9 @@ def _losses(cfg: PipelineConfig, vgg_params, out: Dict, batch: Dict):
         # the backward; recomputing them costs ~one extra VGG forward and
         # saves ~4GB at B=8 crops of 256^2.
         vgg = jax.checkpoint(
-            lambda p, t: V.vgg_loss(vgg_params, p, t))(im_l, target)
+            lambda p, t: V.vgg_loss(
+                vgg_params, p, t,
+                partialconv=cfg.vgg_partialconv))(im_l, target)
         loss = loss + cfg.vgg_ratio * vgg
         metrics["vgg_loss"] = vgg
     if cfg.num_classes is not None and "seg_out" in out \
@@ -231,17 +319,23 @@ def _losses(cfg: PipelineConfig, vgg_params, out: Dict, batch: Dict):
     return loss, metrics
 
 
-def make_train_step(net: UNet, cfg: PipelineConfig, vgg_params):
+def make_train_step(net: UNet, cfg: PipelineConfig, vgg_params,
+                    donate: bool = False):
     """Build the fused jitted train step.
 
     batch: ``{'total_m': [B,4,4], 'target': [B,h,w,3]`` (+ optional
     ``'mask': [B,h,w,1]``, ``'label': [B,h,w]`` int32)``}``;
     ``xyz [N,3]`` rides as an argument so one compiled step serves any
     same-sized scene.
+
+    ``donate=True`` donates the input ``state`` buffers to the output
+    state (halves peak HBM for the big texture/optimizer tables — the
+    train CLI uses it). The caller must then never touch the passed-in
+    state again; the default is safe-but-copying.
     """
     net_opt, tex_opt = _make_optimizers(cfg)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, xyz: jax.Array, batch: Dict):
         ndc_jitter = None
         if cfg.drop_points > 0 or cfg.perturb_points > 0:
@@ -260,7 +354,11 @@ def make_train_step(net: UNet, cfg: PipelineConfig, vgg_params):
                                       texture, xyz, batch["total_m"],
                                       train=True,
                                       uv2d=batch.get("uv2d"),
-                                      ndc_jitter=ndc_jitter)
+                                      ndc_jitter=ndc_jitter,
+                                      point_sizes=batch.get("point_sizes"),
+                                      faces=batch.get("faces"),
+                                      pointcloud=batch.get("pointcloud"),
+                                      gt_label=batch.get("label"))
             loss, metrics = _losses(cfg, vgg_params, out, batch)
             if cfg.reg_weight:
                 loss = loss + T.point_texture_reg_loss(texture,
@@ -302,7 +400,11 @@ def make_eval_step(net: UNet, cfg: PipelineConfig, vgg_params):
         out, _, _ = _forward(net, cfg, state.params, state.batch_stats,
                              state.texture, xyz, batch["total_m"],
                              train=False, shape=shape,
-                             uv2d=batch.get("uv2d"))
+                             uv2d=batch.get("uv2d"),
+                             point_sizes=batch.get("point_sizes"),
+                             faces=batch.get("faces"),
+                             pointcloud=batch.get("pointcloud"),
+                             gt_label=batch.get("label"))
         loss, metrics = _losses(cfg, vgg_params, out, batch)
         metrics["loss"] = loss
         metrics["ssim"] = L.ssim(jnp.clip(out["im_out"], 0, 1),

@@ -79,7 +79,10 @@ def build_argparser() -> argparse.ArgumentParser:
                            "uv_1d_p1_ds3, uv_1d_p1_ds4")
     p.add_argument("--splitter", type=str, default="split_by_step")
     p.add_argument("--criterion", type=str, default="vgg",
-                   choices=["vgg", "vgg_pytorch", "huber_only"])
+                   choices=["vgg", "vgg_pytorch", "vgg_partial",
+                            "huber_only"],
+                   help="vgg_partial = VGGLoss(partialconv=True): the "
+                        "masked perceptual loss (vgg_loss.py:58-62)")
     p.add_argument("--vgg-weights", dest="vgg_weights", type=str,
                    default=None)
     p.add_argument("--use-mask", dest="use_mask", action="store_true")
@@ -117,6 +120,21 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--headless-platform", dest="headless_platform",
                    type=str, default=None,
                    help="force a jax platform (e.g. cpu for smoke runs)")
+    p.add_argument("--mesh", type=str, default=None,
+                   help="multi-chip mesh 'DATAxPOINTS' (e.g. 2x4): "
+                        "batch shards over the data axis, point cloud + "
+                        "descriptor table over the points axis "
+                        "(SURVEY.md 2.9). batch_size*inner_batch must "
+                        "divide by DATA.")
+    p.add_argument("--masked-background", dest="masked_background",
+                   action="store_true",
+                   help="renormalize loss by mask mean + pull background "
+                        "to black (reference train.py:183-197)")
+    p.add_argument("--use-mesh", dest="use_mesh", action="store_true",
+                   help="MeshTexture sampled at uv2d instead of the "
+                        "point table (reference ogl.py:41-44)")
+    p.add_argument("--texture-size", dest="texture_size", type=int,
+                   default=512)
     return p
 
 
@@ -167,6 +185,147 @@ def config_dict(args) -> dict:
                               type(None)))}
 
 
+def run_alt_pipeline(args, cfg, ds_train, ds_val, writer, exp_dir,
+                     vgg_params):
+    """Training loops for the non-texture pipelines.
+
+    - ``pix2pix``: the refinement net alone on raw rendered colors
+      (``READ/pipelines/ogl.py:157-196`` + ``MultiscaleNet``).
+    - ``rgb_texture``: classic RGB MeshTexture fit, RMSprop, no net
+      (``ogl.py:199-227`` + ``RGBTexture``).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from read_tpu.data.dataset import BatchIterator, PrefetchIterator
+    from read_tpu.utils import ckpt as CK
+    from read_tpu.utils.perform import AccumDict
+    from read_tpu.criterions import losses as L
+
+    key = jax.random.PRNGKey(args.seed)
+    ckpt_root = os.path.join(exp_dir, "checkpoints")
+    scene_pc = {ds.id: ds.scene_data["pointcloud"] for ds in ds_train}
+    xyz_dev = {ds.id: jnp.asarray(np.asarray(pc["xyz"], np.float32))
+               for ds, pc in ((d, scene_pc[d.id]) for d in ds_train)}
+
+    if args.pipeline == "pix2pix":
+        from read_tpu.pipelines import pix2pix_pipeline as P2P
+        state, net, opt = P2P.create_pix2pix_state(key, cfg,
+                                                   in_channels=3)
+        steps = {ds.id: P2P.make_pix2pix_step(
+            net, cfg, opt, vgg_params, scene_pc[ds.id], mode="colors")
+            for ds in ds_train}
+
+        from read_tpu.ops import rasterize as R
+        from read_tpu.ops import render_modes as RM
+        import functools as _ft
+
+        @_ft.partial(jax.jit, static_argnames=("shape",))
+        def eval_fwd(params, batch_stats, rgb, xyz, total_m, shape):
+            levels = R.rasterize_pyramid_pooled(xyz, total_m, shape,
+                                                cfg.num_scales)
+            pyr = [RM.gather_attribute(rgb, ix) for ix, _ in levels]
+            out = net.apply({"params": params,
+                             "batch_stats": batch_stats},
+                            *pyr, train=False)
+            return out["im_out"]
+
+        def eval_image(sid, total_m, shape):
+            rgb = jnp.asarray(np.asarray(scene_pc[sid]["rgb"],
+                                         np.float32))
+            return eval_fwd(state["params"], state["batch_stats"], rgb,
+                            xyz_dev[sid], total_m, shape)
+    else:  # rgb_texture
+        from read_tpu.pipelines import rgb_texture_pipeline as RGB
+        from read_tpu.ops import rasterize as R
+        from read_tpu.ops import render_modes as RM
+        import functools as _ft
+        h, w = cfg.crop_size
+        rgb_states, steps = {}, {}
+        for ds in ds_train:
+            key, sub = jax.random.split(key)
+            st, opt = RGB.create_rgb_texture_state(
+                sub, args.texture_size, lr=args.texture_lr)
+            rgb_states[ds.id] = st
+            steps[ds.id] = RGB.make_rgb_texture_step(
+                opt, scene_pc[ds.id], h, w,
+                reg_weight=args.reg_weight)
+
+        @_ft.partial(jax.jit, static_argnames=("shape",))
+        def eval_fwd_rgb(tables, uv2d, xyz, total_m, shape):
+            idx, _ = R.rasterize_batch(xyz, total_m, *shape)
+            uv_map = RM.gather_attribute(uv2d, idx)
+            mask = (idx >= 0)[..., None].astype(jnp.float32)
+            return RGB.rgb_texture_forward(tables, uv_map, mask)
+
+        def eval_image(sid, total_m, shape):
+            uv2d = jnp.asarray(np.asarray(scene_pc[sid]["uv2d"],
+                                          np.float32))
+            return eval_fwd_rgb(rgb_states[sid]["tables"], uv2d,
+                                xyz_dev[sid], total_m, shape)
+
+    best_val = float("inf")
+    for epoch in range(args.epochs):
+        acc = AccumDict()
+        step_count = 0
+        for ds in ds_train:
+            it = PrefetchIterator(BatchIterator(
+                ds, args.batch_size, shuffle=True,
+                seed=args.seed + epoch), depth=2)
+            for batch in it:
+                dev_batch = {
+                    "total_m": jnp.asarray(batch["total_m"]),
+                    "target": jnp.asarray(batch["target"]),
+                }
+                if args.pipeline == "pix2pix":
+                    state, metrics = steps[ds.id](state, xyz_dev[ds.id],
+                                                  dev_batch)
+                else:
+                    rgb_states[ds.id], metrics = steps[ds.id](
+                        rgb_states[ds.id], xyz_dev[ds.id], dev_batch)
+                acc.update({k: float(v) for k, v in metrics.items()})
+                step_count += 1
+                if step_count % args.log_freq == 0:
+                    print(f"epoch {epoch} it {step_count}: {acc}")
+                if args.max_steps_per_epoch and \
+                        step_count >= args.max_steps_per_epoch:
+                    break
+        # val: full-frame PSNR
+        vacc = AccumDict()
+        for ds in ds_val:
+            if not len(ds.view_list):
+                continue
+            for i in range(len(ds.view_list)):
+                item = ds[i]
+                shape = tuple(item["target"].shape[:2])
+                img = eval_image(ds.id, jnp.asarray(
+                    item["total_m"][None]), shape)
+                psnr = float(L.psnr(img[0], jnp.asarray(item["target"])))
+                vacc.update({"psnr": psnr})
+        val_psnr = vacc.mean("psnr") if vacc["psnr"] else 0.0
+        print(f"epoch {epoch}: train {acc.mean('loss'):.5f} "
+              f"val psnr {val_psnr:.2f}")
+        if writer:
+            writer.add_scalar("train/loss", acc.mean("loss"), epoch)
+            writer.add_scalar("val/psnr", val_psnr, epoch)
+        val_loss = -val_psnr
+        if val_loss < best_val or epoch % args.save_freq == 0:
+            for ds in ds_train:
+                obj = state if args.pipeline == "pix2pix" \
+                    else rgb_states[ds.id]
+                CK.save_checkpoint(
+                    os.path.join(ckpt_root,
+                                 f"ckpt_{args.pipeline}_{ds.name}_"
+                                 f"{epoch}"),
+                    obj, config=config_dict(args),
+                    extra={"epoch": epoch, "val_psnr": val_psnr})
+                CK.rotate_checkpoints(
+                    ckpt_root, f"ckpt_{args.pipeline}_{ds.name}", keep=3)
+            best_val = min(best_val, val_loss)
+    print(f"done; best val psnr {-best_val:.2f}")
+    return 0
+
+
 def main(argv=None):
     args = load_args(argv)
 
@@ -193,16 +352,43 @@ def main(argv=None):
         writer = None
 
     # derive splat radius from the input-format DSL (e.g. uv_1d_p3 ->
-    # 3x3 splats; p1 = single pixel)
+    # 3x3 splats; p1 = single pixel). 'ps' (z-relative) splats get a
+    # static cap of 2*size+1 so near points can grow beyond the base
+    # size (programs.py:188-192); per-point manifest sizes are threaded
+    # into the batch below.
     from read_tpu.scene.formats import parse_input_format
     specs = parse_input_format(args.input_format)
-    point_radius = max((sp.point_size - 1) // 2 for sp in specs) \
-        if specs else 0
+    relative_ps = any(sp.splat_mode for sp in specs)
+    point_radius = 0
+    for sp in specs:
+        point_radius = max(point_radius,
+                           sp.point_size if sp.splat_mode
+                           else (sp.point_size - 1) // 2)
+    # group the format into scales: each uv_1d token anchors a scale,
+    # following non-uv tokens are extra modalities concatenated before
+    # the texture sample (``compose.py:146-156`` grouping)
+    groups = []
+    for sp in specs:
+        if sp.mode == "uv_1d":
+            groups.append([])
+        elif groups:
+            groups[-1].append(sp.mode)
+    extra_modes = ()
+    if any(groups):
+        if len(set(map(tuple, groups))) != 1:
+            raise SystemExit(
+                "input_format: every scale must carry the SAME extra "
+                f"modalities (one UNet input width); got {groups}")
+        extra_modes = tuple(tuple(g) for g in groups)
 
     h, w = parse_size(args.crop_size)
     cfg = TP.PipelineConfig(
         crop_size=(h, w),
         point_radius=point_radius,
+        relative_point_size=relative_ps,
+        extra_modes=extra_modes,
+        label_in_input=bool(
+            args.train_dataset_args.get("label_in_input", False)),
         # device-side augmentations (the reference applies these via GL
         # vertex buffers in workers; here they live in the jitted step)
         drop_points=float(args.train_dataset_args.get("drop_points", 0.0)),
@@ -212,13 +398,28 @@ def main(argv=None):
         supersampling=args.supersampling,
         lr=args.lr, texture_lr=args.texture_lr,
         vgg_ratio=0.0 if args.criterion == "huber_only" else 1.0,
+        vgg_partialconv=args.criterion == "vgg_partial",
         huber_ratio=1e4 if args.criterion != "huber_only" else 1.0,
         reg_weight=args.reg_weight,
         texture_activation=args.texture_activation,
-        use_mask=args.use_mask,
+        use_mask=args.use_mask or args.masked_background,
+        masked_background=args.masked_background,
+        use_mesh=args.use_mesh,
+        texture_size=args.texture_size,
         num_classes=args.num_classes,
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
     )
+
+    mesh = None
+    if args.mesh:
+        from read_tpu.parallel import sharded as SH
+        n_data, n_pts_axis = (int(x) for x in args.mesh.lower().split("x"))
+        mesh = SH.make_mesh(n_data, n_pts_axis)
+        print(f"mesh: data={n_data} x points={n_pts_axis} over "
+              f"{n_data * n_pts_axis} devices")
+        if cfg.extra_modes or cfg.use_mesh:
+            raise SystemExit("--mesh does not yet support extra input "
+                             "modalities or --use-mesh")
 
     ds_train, ds_val, texture_ckpts = get_datasets(args)
     for tr, va in zip(ds_train, ds_val):
@@ -237,6 +438,12 @@ def main(argv=None):
         if args.vgg_weights is None:
             print("WARNING: no --vgg-weights; using seeded random VGG "
                   "features (see read_tpu/criterions/vgg.py)")
+
+    if args.pipeline != "texture":
+        # Pix2Pix / RGBTexture dispatch (reference wires all three
+        # pipelines through one CLI, ``READ/pipelines/ogl.py:157-227``)
+        return run_alt_pipeline(args, cfg, ds_train, ds_val, writer,
+                                exp_dir, vgg_params)
 
     # per-scene states sharing one net (NetAndTexture parity: one net,
     # per-scene textures, compose.py:84-116)
@@ -290,81 +497,221 @@ def main(argv=None):
             print(f"resumed {ds.name} from {cand} "
                   f"(step {int(restored.step)})")
 
-    train_step = TP.make_train_step(net, cfg, vgg_params)
+    if mesh is not None:
+        from read_tpu.parallel import sharded as SH
+        # shard every scene state + point cloud over the mesh; the
+        # texture (+ its RMSprop state) pads N to the points-axis size
+        for ds in ds_train:
+            states[ds.id] = SH.prepare_scene_state(mesh, states[ds.id])
+        train_step = SH.make_sharded_train_step(net, cfg, vgg_params,
+                                                mesh)
+    else:
+        # donate=True: the loop never reuses a state it has passed in
+        # (it rebinds `st` every step and carries the net portion across
+        # scene switches), so donating the big texture/optimizer buffers
+        # halves peak HBM.
+        train_step = TP.make_train_step(net, cfg, vgg_params, donate=True)
     eval_step = TP.make_eval_step(net, cfg, vgg_params)
     sched = TP.ReduceLROnPlateau(factor=args.plateau_factor,
                                  patience=args.plateau_patience)
 
-    def sync_shared_net(src_id: int):
-        """Propagate the shared net (params/stats/opt) updated while
-        training scene src_id to all other scene states."""
-        s = states[src_id]
-        for sid in states:
-            if sid != src_id:
-                states[sid] = states[sid].replace(
-                    params=s.params, batch_stats=s.batch_stats,
-                    net_opt=s.net_opt, lr_scale=s.lr_scale)
+    scene_by_id = {ds.id: ds for ds in ds_train}
+    _uv2d_cache: Dict[int, "jnp.ndarray"] = {}
+
+    def uv2d_cache(sid: int) -> "jnp.ndarray":
+        if sid not in _uv2d_cache:
+            _uv2d_cache[sid] = jnp.asarray(np.asarray(
+                scene_by_id[sid].scene_data["pointcloud"]["uv2d"],
+                np.float32))
+        return _uv2d_cache[sid]
+
+    _pc_cache: Dict[int, dict] = {}
+
+    def pc_cache(sid: int) -> dict:
+        """Device-resident point attributes needed by extra_modes."""
+        if sid not in _pc_cache:
+            need = {m for g in cfg.extra_modes for m in g}
+            attr_of = {"colors": "rgb", "labels": "labels",
+                       "xyz": "xyz_c", "normals_m": "normals",
+                       "uv_2d": "uv2d"}
+            pc = scene_by_id[sid].scene_data["pointcloud"]
+            out = {}
+            for mode in need:
+                a = attr_of.get(mode)
+                if a and pc.get(a) is not None:
+                    out[a] = jnp.asarray(np.asarray(pc[a], np.float32))
+            _pc_cache[sid] = out
+        return _pc_cache[sid]
+
+    _psize_cache: Dict[int, Optional["jnp.ndarray"]] = {}
+
+    def psize_cache(sid: int):
+        """Per-point sizes from the scene manifest (``point_sizes`` key,
+        reference ``gl/utils.py:330-336``); None when absent. Not
+        supported together with --mesh sharding (sizes would need the
+        points-axis padding too)."""
+        if sid not in _psize_cache:
+            ps = scene_by_id[sid].scene_data.get("point_sizes")
+            _psize_cache[sid] = None if ps is None or mesh is not None \
+                else jnp.asarray(np.asarray(ps, np.float32).reshape(-1))
+        return _psize_cache[sid]
+
+    def scene_xyz(ds) -> "jnp.ndarray":
+        xyz = np.asarray(ds.scene_data["pointcloud"]["xyz"], np.float32)
+        if mesh is not None:
+            from read_tpu.parallel import sharded as SH
+            return SH.shard_points(mesh, xyz)
+        return jnp.asarray(xyz)
+
+    def eval_state(sid: int) -> TP.TrainState:
+        """State usable by the unsharded eval step (gathers + strips the
+        texture padding when training on a mesh)."""
+        st = states[sid]
+        if mesh is None:
+            return st
+        from read_tpu.parallel import sharded as SH
+        return SH.unshard_state(st, scene_by_id[sid].n_points)
+
+    def carry_net(dst_sid: int, src_sid: int):
+        """Rebind the shared net portion (params/stats/opt/lr) of
+        dst's state to src's — reference semantics: ONE net shared by
+        all scenes (``compose.py:84-116``). O(1): array rebind only."""
+        if dst_sid == src_sid:
+            return
+        s = states[src_sid]
+        states[dst_sid] = states[dst_sid].replace(
+            params=s.params, batch_stats=s.batch_stats,
+            net_opt=s.net_opt, lr_scale=s.lr_scale)
 
     def run_train_epoch(epoch: int) -> float:
+        """Interleaved multi-scene epoch: per-scene batch streams are
+        shuffled together (reference shuffles a chunked ConcatDataset,
+        ``train.py:229-248``) so the shared net + BatchNorm stats never
+        see one long single-scene run."""
         acc = AccumDict()
+        ep_rng = np.random.default_rng(args.seed + 13 * epoch)
+
+        def batches():
+            its = {ds.id: iter(BatchIterator(
+                ds, args.batch_size, shuffle=True,
+                seed=args.seed + epoch)) for ds in ds_train}
+            # one schedule slot per batch, shuffled across scenes
+            slots = [ds.id for ds in ds_train
+                     for _ in range(len(BatchIterator(ds,
+                                                      args.batch_size)))]
+            ep_rng.shuffle(slots)
+            for sid in slots:
+                try:
+                    yield sid, next(its[sid])
+                except StopIteration:
+                    continue
+
+        it = PrefetchIterator(batches(), depth=2)
+        xyz_cache = {}
         step_count = 0
-        for ds in ds_train:
-            it = PrefetchIterator(
-                BatchIterator(ds, args.batch_size, shuffle=True,
-                              seed=args.seed + epoch), depth=2)
-            xyz = jnp.asarray(
+        last_sid = None
+        gstep = 0
+        for sid, batch in it:
+            if sid not in xyz_cache:
+                xyz_cache[sid] = scene_xyz(scene_by_id[sid])
+            if last_sid is not None:
+                carry_net(sid, last_sid)
+            dev_batch = {
+                "total_m": jnp.asarray(batch["total_m"]),
+                "target": jnp.asarray(batch["target"]),
+            }
+            if cfg.use_mask:
+                dev_batch["mask"] = jnp.asarray(batch["mask"])
+            if args.num_classes:
+                dev_batch["label"] = jnp.asarray(batch["label"])
+            if cfg.use_mesh:
+                dev_batch["uv2d"] = uv2d_cache(sid)
+            if psize_cache(sid) is not None:
+                dev_batch["point_sizes"] = psize_cache(sid)
+            if cfg.extra_modes:
+                dev_batch["pointcloud"] = pc_cache(sid)
+                if cfg.label_in_input:
+                    dev_batch["label"] = jnp.asarray(batch["label"])
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+                dsh = NamedSharding(mesh, PartitionSpec("data"))
+                dev_batch = {k: jax.device_put(v, dsh)
+                             for k, v in dev_batch.items()}
+            st, metrics = train_step(states[sid], xyz_cache[sid],
+                                     dev_batch)
+            states[sid] = st
+            last_sid = sid
+            acc.update({k: float(v) for k, v in metrics.items()})
+            step_count += 1
+            gstep = int(st.step)
+            if step_count % args.log_freq == 0:
+                print(f"epoch {epoch} it {step_count}: {acc}")
+                if writer:
+                    for k, v in acc.means().items():
+                        writer.add_scalar(f"train/{k}", v, gstep)
+            if args.max_steps_per_epoch and \
+                    step_count >= args.max_steps_per_epoch:
+                break
+        # propagate the final net to every scene state
+        if last_sid is not None:
+            for ds in ds_train:
+                carry_net(ds.id, last_sid)
+        return acc.mean("loss") if acc["loss"] else float("inf")
+
+    def run_val_epoch(epoch: int, dump_dir: Optional[str] = None) -> float:
+        """Validation epoch. Scalability (vs the reference's per-view
+        python loop, ``train.py:354-363`` round 1): views are batched
+        (``--batch-size-val``) at the fixed /16 full-frame shape so ONE
+        compiled program serves every view of a scene, metric scalars
+        stay on device until the end of the epoch (no per-item sync),
+        and host item prep overlaps device compute via prefetch."""
+        acc = AccumDict()
+        n_dumped = 0
+        pending = []  # (scene_name, device metric dicts) - sync at end
+        for ds in ds_val:
+            if not len(ds.view_list):
+                continue
+            xyz = scene_xyz(ds) if mesh is None else jnp.asarray(
                 np.asarray(ds.scene_data["pointcloud"]["xyz"],
                            np.float32))
-            st = states[ds.id]
-            for batch in it:
+            st = eval_state(ds.id)
+            bs = max(1, args.batch_size_val)
+
+            def val_batches(ds=ds, bs=bs):
+                n = len(ds.view_list)
+                for i0 in range(0, n, bs):
+                    items = [ds[i] for i in range(i0, min(i0 + bs, n))]
+                    # pad the tail so every batch compiles to one shape
+                    npad = bs - len(items)
+                    b = {k: np.stack([it[k] for it in items] +
+                                     [items[-1][k]] * npad)
+                         for k in ("total_m", "target", "mask")}
+                    b["n_valid"] = len(items)
+                    b["filenames"] = [it["target_filename"]
+                                      for it in items]
+                    yield b
+
+            for batch in PrefetchIterator(val_batches(), depth=2):
+                n_valid = batch.pop("n_valid")
+                names = batch.pop("filenames")
                 dev_batch = {
                     "total_m": jnp.asarray(batch["total_m"]),
                     "target": jnp.asarray(batch["target"]),
                 }
-                if args.use_mask:
+                if cfg.use_mask:
                     dev_batch["mask"] = jnp.asarray(batch["mask"])
-                if args.num_classes:
-                    dev_batch["label"] = jnp.asarray(batch["label"])
-                st, metrics = train_step(st, xyz, dev_batch)
-                acc.update({k: float(v) for k, v in metrics.items()})
-                step_count += 1
-                gstep = int(st.step)
-                if step_count % args.log_freq == 0:
-                    print(f"epoch {epoch} it {step_count}: {acc}")
-                    if writer:
-                        for k, v in acc.means().items():
-                            writer.add_scalar(f"train/{k}", v, gstep)
-                if args.max_steps_per_epoch and \
-                        step_count >= args.max_steps_per_epoch:
-                    break
-            states[ds.id] = st
-            sync_shared_net(ds.id)
-        return acc.mean("loss") if acc["loss"] else float("inf")
-
-    def run_val_epoch(epoch: int, dump_dir: Optional[str] = None) -> float:
-        acc = AccumDict()
-        n_dumped = 0
-        for ds in ds_val:
-            if not len(ds.view_list):
-                continue
-            xyz = jnp.asarray(
-                np.asarray(ds.scene_data["pointcloud"]["xyz"],
-                           np.float32))
-            st = states[ds.id]
-            for i in range(len(ds.view_list)):
-                item = ds[i]
-                batch = {
-                    "total_m": jnp.asarray(item["total_m"][None]),
-                    "target": jnp.asarray(item["target"][None]),
-                }
-                if args.use_mask:
-                    batch["mask"] = jnp.asarray(item["mask"][None])
-                img, metrics = eval_step(st, xyz, batch)
-                acc.update({k: float(v) for k, v in metrics.items()})
-                if writer and i == 0 and n_dumped == 0:
-                    # side-by-side prediction|target grid per scene
-                    # (reference tensorboard image logging,
-                    # train.py:308-329)
+                if cfg.use_mesh:
+                    dev_batch["uv2d"] = uv2d_cache(ds.id)
+                if psize_cache(ds.id) is not None:
+                    dev_batch["point_sizes"] = psize_cache(ds.id)
+                if cfg.extra_modes:
+                    dev_batch["pointcloud"] = pc_cache(ds.id)
+                img, metrics = eval_step(st, xyz, dev_batch)
+                # metrics are batch means incl. tail padding; the tail
+                # repeats a real view so the bias is bounded and only
+                # affects the final partial batch.
+                pending.append((n_valid, metrics))
+                if writer and n_dumped == 0:
                     grid = np.concatenate(
                         [np.clip(np.asarray(img[0]), 0, 1),
                          np.asarray(batch["target"][0])], axis=1)
@@ -373,13 +720,22 @@ def main(argv=None):
                 if dump_dir and n_dumped < args.log_num_images * 8:
                     import imageio.v2 as imageio
                     os.makedirs(dump_dir, exist_ok=True)
-                    base = os.path.splitext(os.path.basename(
-                        item["target_filename"]))[0]
-                    out = np.clip(np.asarray(img[0]), 0, 1)
-                    imageio.imwrite(
-                        os.path.join(dump_dir, f"{ds.name}_{base}.png"),
-                        (out * 255).astype(np.uint8))
-                    n_dumped += 1
+                    for j in range(min(n_valid,
+                                       args.log_num_images * 8
+                                       - n_dumped)):
+                        base = os.path.splitext(
+                            os.path.basename(names[j]))[0]
+                        out = np.clip(np.asarray(img[j]), 0, 1)
+                        imageio.imwrite(
+                            os.path.join(dump_dir,
+                                         f"{ds.name}_{base}.png"),
+                            (out * 255).astype(np.uint8))
+                        n_dumped += 1
+        # single host sync for the whole epoch's metrics
+        pending = jax.device_get(pending)
+        for n_valid, metrics in pending:
+            for _ in range(n_valid):
+                acc.update({k: float(v) for k, v in metrics.items()})
         return acc.mean("loss") if acc["loss"] else float("inf"), acc
 
     ckpt_root = os.path.join(exp_dir, "checkpoints")
@@ -411,10 +767,12 @@ def main(argv=None):
 
         if epoch % args.save_freq == 0 or val_loss < best_val:
             for ds in ds_train:
+                # checkpoints are always saved unsharded/unpadded so a
+                # single-chip run (or viewer) can load them directly
                 CK.save_checkpoint(
                     os.path.join(ckpt_root,
                                  f"ckpt_{ds.name}_{epoch}"),
-                    states[ds.id], config=config_dict(args),
+                    eval_state(ds.id), config=config_dict(args),
                     extra={"epoch": epoch, "val_loss": val_loss})
                 CK.rotate_checkpoints(ckpt_root, f"ckpt_{ds.name}",
                                       keep=3)
@@ -423,7 +781,7 @@ def main(argv=None):
                 for ds in ds_train:
                     CK.save_checkpoint(
                         os.path.join(ckpt_root, f"best_{ds.name}"),
-                        states[ds.id], config=config_dict(args),
+                        eval_state(ds.id), config=config_dict(args),
                         extra={"epoch": epoch, "val_loss": val_loss})
     print(f"done; best val loss {best_val:.5f}")
     return 0

@@ -20,6 +20,19 @@ Key bindings (reference ``viewer.py:323-380,460-468``):
   s+ctrl / F12 screenshot (also 'i')
   ESC          quit
 
+Trajectory editing (reference key-G mode, ``viewer.py:381-458``):
+  k            add current pose as a trajectory keyframe
+  j            remove last keyframe
+  r            toggle smooth replay of the recorded trajectory
+  u            save trajectory to trajectory.txt
+  y            load trajectory.txt
+
+Mouse (reference ``viewer.py:516-545``):
+  left-drag    orbit (ground-plane pivot); +shift = local rotate
+  right-drag   pan
+  middle-drag  roll (horizontal) / zoom (vertical)
+  wheel        zoom
+
 Run headless with ``--offscreen N`` to render N frames along the scene
 trajectory without a window (CI smoke path).
 """
@@ -43,6 +56,8 @@ class ViewerApp:
         from read_tpu.render import NeuralRenderer, nearest_train
         from read_tpu.scene.trackball import Trackball
 
+        from read_tpu.scene.trajectory import Trajectory
+
         self.r = NeuralRenderer(scene_path, ckpt_path, viewport=viewport,
                                 supersampling=supersampling)
         views = self.r.scene_data["view_matrix"]
@@ -52,9 +67,18 @@ class ViewerApp:
         self._normals_cycle = 0
         self._nearest = nearest_train
         self.frame_times = []
+        self.trajectory = Trajectory()
+        self.replaying = False
+        self._replay_t = 0.0
+        self.replay_speed = 1.0 / 180  # path fraction per frame
 
     def render(self) -> np.ndarray:
         t0 = time.perf_counter()
+        if self.replaying and len(self.trajectory) >= 2:
+            self.tb.m = self.trajectory.sample(self._replay_t)
+            self._replay_t += self.replay_speed
+            if self._replay_t > 1.0:
+                self._replay_t = 0.0
         pose = self.tb.view_matrix()
         if self.mode == "neural":
             img = self.r.infer(pose)
@@ -117,9 +141,63 @@ class ViewerApp:
                 np.uint8))
             np.savetxt(fn + ".pose.txt", tb.view_matrix())
             print(f"saved {fn} (+pose)")
+        elif key == "k":
+            i = self.trajectory.add(tb.view_matrix())
+            print(f"keyframe {i} recorded")
+        elif key == "j":
+            self.trajectory.remove_last()
+            print(f"{len(self.trajectory)} keyframes")
+        elif key == "r":
+            self.replaying = not self.replaying
+            self._replay_t = 0.0
+            print(f"replay {'on' if self.replaying else 'off'} "
+                  f"({len(self.trajectory)} keyframes)")
+        elif key == "u":
+            if len(self.trajectory):
+                self.trajectory.save("trajectory.txt")
+                print(f"saved trajectory.txt "
+                      f"({len(self.trajectory)} keyframes)")
+        elif key == "y":
+            from read_tpu.scene.trajectory import Trajectory
+            try:
+                self.trajectory = Trajectory.load("trajectory.txt")
+                print(f"loaded trajectory.txt "
+                      f"({len(self.trajectory)} keyframes)")
+            except OSError as e:
+                print(f"no trajectory.txt: {e}")
         elif key == "\x1b":  # ESC
             return False
         return True
+
+    # -- mouse (reference viewer.py:516-545) ---------------------------
+    def handle_mouse(self, event: int, x: int, y: int, flags: int):
+        """cv2 mouse callback body: drag states -> trackball ops."""
+        import cv2
+        if event == cv2.EVENT_LBUTTONDOWN or \
+                event == cv2.EVENT_RBUTTONDOWN or \
+                event == cv2.EVENT_MBUTTONDOWN:
+            self._drag = (x, y)
+        elif event == cv2.EVENT_MOUSEMOVE and getattr(
+                self, "_drag", None) is not None:
+            dx, dy = x - self._drag[0], y - self._drag[1]
+            self._drag = (x, y)
+            if flags & cv2.EVENT_FLAG_LBUTTON:
+                if flags & cv2.EVENT_FLAG_SHIFTKEY:
+                    self.tb.rotate_local(dx * 0.005, dy * 0.005)
+                else:
+                    self.tb.rotate(dx * 0.005, dy * 0.005)
+            elif flags & cv2.EVENT_FLAG_RBUTTON:
+                self.tb.pan(-dx * 0.01, dy * 0.01)
+            elif flags & cv2.EVENT_FLAG_MBUTTON:
+                if abs(dx) >= abs(dy):
+                    self.tb.roll(dx * 0.005)
+                else:
+                    self.tb.zoom(-dy * 0.05)
+        elif event in (cv2.EVENT_LBUTTONUP, cv2.EVENT_RBUTTONUP,
+                       cv2.EVENT_MBUTTONUP):
+            self._drag = None
+        elif event == cv2.EVENT_MOUSEWHEEL:
+            self.tb.zoom(0.5 if flags > 0 else -0.5)
 
     @property
     def fps(self) -> float:
@@ -154,13 +232,24 @@ def main(argv=None):
         for k in "wd1nmcvp":
             app.handle_key(k)
             app.render()
+        # trajectory record + replay smoke
+        app.handle_key("k")
+        app.handle_key("w")
+        app.handle_key("k")
+        app.handle_key("r")
+        for _ in range(3):
+            app.render()
         print(f"offscreen ok: {len(app.frame_times)} frames, "
-              f"fps {app.fps:.2f}, mode {app.mode}")
+              f"fps {app.fps:.2f}, mode {app.mode}, "
+              f"traj {len(app.trajectory)} kf")
         return 0
 
     import cv2
     win = "read_tpu viewer (ESC quits)"
     cv2.namedWindow(win, cv2.WINDOW_AUTOSIZE)
+    cv2.setMouseCallback(
+        win, lambda ev, x, y, flags, _p: app.handle_mouse(ev, x, y,
+                                                          flags))
     running = True
     while running:
         img = app.render()

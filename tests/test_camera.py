@@ -98,3 +98,39 @@ def test_look_at_points_camera_at_target():
     clip = m @ np.array([0, 0, 0, 1.0])
     ndc = clip[:3] / clip[3]
     np.testing.assert_allclose(ndc[:2], [0, 0], atol=1e-12)
+
+
+def test_trajectory_interpolation(tmp_path):
+    """Keyframe record / smooth sample / save-load round trip
+    (reference viewer trajectory editing, viewer.py:381-458)."""
+    from read_tpu.scene.trajectory import Trajectory, quat_to_mat, \
+        mat_to_quat, slerp
+    t = Trajectory()
+    p0, p1 = np.eye(4), np.eye(4)
+    p1[:3, 3] = [2.0, 0.0, 0.0]
+    c, s = np.cos(0.5), np.sin(0.5)
+    p1[:3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+    t.add(p0)
+    t.add(p1)
+    assert len(t) == 2
+    # endpoints exact
+    np.testing.assert_allclose(t.sample(0.0), p0, atol=1e-9)
+    np.testing.assert_allclose(t.sample(1.0), p1, atol=1e-9)
+    # midpoint: halfway translation, halfway rotation, orthonormal
+    mid = t.sample(0.5)
+    np.testing.assert_allclose(mid[:3, 3], [1.0, 0, 0], atol=1e-9)
+    np.testing.assert_allclose(mid[:3, :3] @ mid[:3, :3].T, np.eye(3),
+                               atol=1e-9)
+    ch, sh = np.cos(0.25), np.sin(0.25)
+    np.testing.assert_allclose(
+        mid[:3, :3], [[ch, 0, sh], [0, 1, 0], [-sh, 0, ch]], atol=1e-9)
+    # save / load round trip
+    fn = str(tmp_path / "traj.txt")
+    t.save(fn)
+    t2 = Trajectory.load(fn)
+    assert len(t2) == 2
+    np.testing.assert_allclose(t2.keyframes[1], p1, atol=1e-12)
+    # quat round trip
+    q = mat_to_quat(p1[:3, :3])
+    np.testing.assert_allclose(quat_to_mat(q), p1[:3, :3], atol=1e-9)
+    np.testing.assert_allclose(slerp(q, q, 0.3), q, atol=1e-12)

@@ -1,0 +1,74 @@
+"""Mixed input modalities in the neural pipeline.
+
+Reference: extra (non-uv) rendered inputs are concatenated before the
+texture sample at each scale (``READ/models/compose.py:146-156``);
+``label_in_input`` substitutes ground-truth labels into rendered label
+maps (``READ/datasets/dynamic.py:243-249``).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from read_tpu.pipelines import texture_pipeline as TP
+from read_tpu.scene import camera
+
+
+def _scene(rng, n=512, h=32, w=32, b=2):
+    xyz = rng.uniform(-2, 2, size=(n, 3)).astype(np.float32)
+    xyz[:, 2] -= 6.0
+    K = np.array([[30.0, 0, w / 2], [0, 30.0, h / 2], [0, 0, 1]])
+    Pm = camera.gl_projection(K, (w, h), znear=0.1, zfar=50.0)
+    ms = [camera.total_matrix(Pm, np.eye(4)) for _ in range(b)]
+    return xyz, np.stack(ms).astype(np.float32)
+
+
+def test_net_in_channels():
+    cfg = TP.PipelineConfig(extra_modes=(("colors",),) * 4)
+    assert cfg.net_in_channels == 8 + 3
+    cfg = TP.PipelineConfig(extra_modes=(("labels", "colors"),) * 4)
+    assert cfg.net_in_channels == 8 + 1 + 3
+    assert TP.PipelineConfig().net_in_channels == 8
+
+
+def test_train_step_with_extra_colors(rng):
+    n, h, w = 512, 32, 32
+    xyz, ms = _scene(rng, n, h, w)
+    cfg = TP.PipelineConfig(crop_size=(h, w), vgg_ratio=0.0,
+                            huber_ratio=1.0,
+                            extra_modes=(("colors",),) * 4)
+    state, net = TP.create_state(jax.random.PRNGKey(0), cfg, n_points=n)
+    rgb = rng.uniform(size=(n, 3)).astype(np.float32)
+    batch = {
+        "total_m": jnp.asarray(ms),
+        "target": jnp.asarray(rng.uniform(size=(2, h, w, 3))
+                              .astype(np.float32)),
+        "pointcloud": {"rgb": jnp.asarray(rgb)},
+    }
+    step = TP.make_train_step(net, cfg, None)
+    state2, metrics = step(state, jnp.asarray(xyz), batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state2.step) == 1
+
+
+def test_label_in_input_substitution(rng):
+    """With label_in_input, the labels modality must reflect the GT
+    label image (masked by rendered occupancy), not per-point labels."""
+    n, h, w = 512, 32, 32
+    xyz, ms = _scene(rng, n, h, w, b=1)
+    from read_tpu.ops import rasterize as R
+    idx, dep = R.rasterize_batch(xyz, ms, h, w)
+    pc = {"labels": jnp.asarray(np.full((n,), 7.0, np.float32))}
+    gt = jnp.asarray(np.full((1, h, w), 3.0, np.float32))
+
+    cfg = TP.PipelineConfig(label_in_input=True)
+    maps = TP._extra_maps(cfg, ("labels",), idx, dep, pc, gt_label=gt)
+    m = np.asarray(maps[0])[0, ..., 0]
+    occ = np.asarray(idx[0]) >= 0
+    assert (m[occ] == 3.0).all()       # GT value, not the per-point 7
+    assert (m[~occ] == 0.0).all()
+
+    cfg = TP.PipelineConfig(label_in_input=False)
+    maps = TP._extra_maps(cfg, ("labels",), idx, dep, pc, gt_label=gt)
+    m = np.asarray(maps[0])[0, ..., 0]
+    assert (m[occ] == 7.0).all()       # rendered per-point labels

@@ -133,3 +133,58 @@ def test_masked_background_loss():
     assert abs(float(L.masked_background_loss(pred, mask)) - 500.0) < 1e-4
     mask = jnp.ones((1, 4, 4, 1))
     assert float(L.masked_background_loss(pred, mask)) == 0.0
+
+
+def test_partial_conv_matches_reference_oracle(rng):
+    """Drive the same weights/mask through the reference PartialConv2d
+    (imported read-only from /root/reference as the oracle) and ours."""
+    torch = pytest.importorskip("torch")
+    import importlib.util
+    import sys as _sys
+    _sys.dont_write_bytecode = True
+    spec = importlib.util.spec_from_file_location(
+        "ref_conv", "/root/reference/READ/models/conv.py")
+    ref = importlib.util.module_from_spec(spec)
+    try:
+        spec.loader.exec_module(ref)
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference import failed: {e}")
+
+    x = rng.normal(size=(2, 16, 16, 3)).astype(np.float32)
+    mask = (rng.uniform(size=(2, 16, 16, 1)) > 0.4).astype(np.float32)
+    w = rng.normal(size=(3, 3, 3, 8)).astype(np.float32) * 0.1
+    b = rng.normal(size=(8,)).astype(np.float32)
+
+    pc = ref.PartialConv2d(3, 8, kernel_size=(3, 3), stride=(1, 1),
+                           padding=(1, 1))
+    pc.weight.data = torch.from_numpy(w.transpose(3, 2, 0, 1).copy())
+    pc.bias.data = torch.from_numpy(b.copy())
+    with torch.no_grad():
+        ref_out = pc(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                     torch.from_numpy(mask.transpose(0, 3, 1, 2)))
+    ref_out = ref_out.numpy().transpose(0, 2, 3, 1)
+
+    ours = np.asarray(V.partial_conv2d(
+        jnp.asarray(x), jnp.asarray(mask), jnp.asarray(w),
+        jnp.asarray(b)))
+    np.testing.assert_allclose(ours, ref_out, atol=1e-4)
+
+
+def test_vgg_partialconv_ignores_fully_masked_noise(rng):
+    """With partialconv, noise confined to the background (zeros in the
+    target) must yield a smaller loss than the same noise under the
+    unmasked VGG — the masked variant discounts invalid regions."""
+    params = V.random_vgg_params()
+    target = np.zeros((1, 32, 32, 3), np.float32)
+    target[:, 8:24, 8:24, :] = rng.uniform(
+        0.2, 1.0, size=(1, 16, 16, 3)).astype(np.float32)
+    pred = target.copy()
+    # perturb only the background
+    bg = target.sum(-1, keepdims=True) <= 1e-9
+    pred = pred + 0.5 * bg * rng.normal(size=pred.shape).astype(
+        np.float32)
+    lm = float(V.vgg_loss(params, jnp.asarray(pred), jnp.asarray(target),
+                          partialconv=True))
+    lu = float(V.vgg_loss(params, jnp.asarray(pred),
+                          jnp.asarray(target)))
+    assert lm < lu

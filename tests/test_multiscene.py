@@ -89,5 +89,5 @@ def test_two_scene_training(two_scene_dir, tmp_path):
     assert fb["texture"].shape == (2500, 8)
     # shared net: scene b trained after scene a within the epoch and the
     # sync propagated the same final params into both checkpoints
-    np.testing.assert_allclose(fa["params/feat0/conv_f/kernel"],
-                               fb["params/feat0/conv_f/kernel"])
+    np.testing.assert_allclose(fa["params/feat0/conv_fm/kernel"],
+                               fb["params/feat0/conv_fm/kernel"])

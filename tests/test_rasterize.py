@@ -158,3 +158,89 @@ def test_jit_under_vmap_grad_free(rng):
     f = jax.jit(lambda p, mm: R.rasterize_batch(p, mm, 16, 16))
     idx, dep = f(xyz, np.stack([m, m]))
     assert idx.shape == (2, 16, 16) and dep.dtype == jnp.float32
+
+
+def _splat_oracle(ndc, valid, rad, h, w):
+    """Sequential oracle with per-point float radii: point i covers
+    offsets with max(|dx|,|dy|) <= rad[i]; min depth, smallest id ties."""
+    index = np.full((h, w), -1, np.int32)
+    depth = np.full((h, w), np.inf, np.float64)
+    for i in range(ndc.shape[0]):
+        if not valid[i]:
+            continue
+        x, y, z = ndc[i]
+        u = int(np.floor(w * (x + 1) * 0.5))
+        v = int(np.floor(h * (1 - y) * 0.5))
+        d = (z + 1) * 0.5
+        r = int(np.floor(rad[i] + 1e-4))
+        for dy in range(-r, r + 1):
+            for dx in range(-r, r + 1):
+                uu, vv = u + dx, v + dy
+                if not (0 <= uu < w and 0 <= vv < h):
+                    continue
+                if d < depth[vv, uu] or (d == depth[vv, uu]
+                                         and i < index[vv, uu]):
+                    index[vv, uu] = i
+                    depth[vv, uu] = d
+    depth[index < 0] = 0.0
+    return index, depth.astype(np.float32)
+
+
+def test_per_point_sizes_match_oracle(rng):
+    """Mixed per-point sizes (the manifest ``point_sizes`` buffer,
+    ``READ/gl/programs.py:183-186``): size 1/3/5 points in one scene."""
+    w, h = 48, 48
+    xyz, m = _random_scene(rng, 120, w, h)
+    sizes = rng.choice([1.0, 3.0, 5.0], size=120).astype(np.float32)
+    idx, dep = R.rasterize(xyz, m, h, w, point_radius=2,
+                           point_sizes=sizes)
+    ndc, valid = jax.jit(R.project_points)(xyz, m)
+    rad = (sizes - 1.0) * 0.5
+    idx_ref, dep_ref = _splat_oracle(np.asarray(ndc), np.asarray(valid),
+                                     rad, h, w)
+    np.testing.assert_array_equal(np.asarray(idx), idx_ref)
+    np.testing.assert_allclose(np.asarray(dep), dep_ref, atol=1e-6)
+
+
+def test_relative_point_size_scales_with_depth(rng):
+    """'ps' mode: a near point must cover more pixels than a far point of
+    the same base size (``programs.py:188-192``)."""
+    K = np.array([[60.0, 0, 16.0], [0, 60.0, 16.0], [0, 0, 1]])
+    P = camera.gl_projection(K, (32, 32), znear=0.1, zfar=100.0)
+    m = camera.total_matrix(P, np.eye(4)).astype(np.float32)
+    near = np.array([[0, 0, -1.2]], np.float32)
+    far = np.array([[0, 0, -50.0]], np.float32)
+    sizes = np.array([4.0], np.float32)
+    i_near, _ = R.rasterize(near, m, 32, 32, point_radius=3,
+                            point_sizes=sizes, relative_size=True)
+    i_far, _ = R.rasterize(far, m, 32, 32, point_radius=3,
+                           point_sizes=sizes, relative_size=True)
+    n_near = int((np.asarray(i_near) >= 0).sum())
+    n_far = int((np.asarray(i_far) >= 0).sum())
+    assert n_near > n_far
+    assert n_far >= 1  # min_point_size floor keeps at least the center
+
+
+def test_relative_size_min_floor(rng):
+    """min_point_size must floor the z-scaled size (far points never
+    vanish)."""
+    K = np.array([[60.0, 0, 16.0], [0, 60.0, 16.0], [0, 0, 1]])
+    P = camera.gl_projection(K, (32, 32), znear=0.1, zfar=100.0)
+    m = camera.total_matrix(P, np.eye(4)).astype(np.float32)
+    far = np.array([[0, 0, -90.0]], np.float32)
+    i_f, _ = R.rasterize(far, m, 32, 32, point_radius=3,
+                         point_sizes=np.array([2.0], np.float32),
+                         relative_size=True, min_point_size=5.0)
+    # floored size 5 -> 5x5 square
+    assert int((np.asarray(i_f) >= 0).sum()) == 25
+
+
+def test_batch_per_point_sizes(rng):
+    """rasterize_batch must accept per-point sizes (vmap fallback)."""
+    w, h = 32, 32
+    xyz, m = _random_scene(rng, 100, w, h)
+    sizes = rng.choice([1.0, 3.0], size=100).astype(np.float32)
+    idx, dep = R.rasterize_batch(xyz, np.stack([m, m]), h, w,
+                                 point_radius=1, point_sizes=sizes)
+    assert idx.shape == (2, h, w)
+    np.testing.assert_array_equal(np.asarray(idx[0]), np.asarray(idx[1]))

@@ -102,3 +102,81 @@ def test_eval_mode(scene_dir, tmp_path):
     assert rc == 0
     dumped = os.listdir(tmp_path / "eval_out")
     assert len(dumped) >= 1 and dumped[0].endswith(".png")
+
+
+def test_train_cli_mesh_sharded(scene_dir, tmp_path):
+    """--mesh 2x2: CLI multi-chip training on the virtual CPU mesh
+    (VERDICT r1 item 4: sharded training must be reachable from the
+    CLI, SURVEY.md 2.9 DP row)."""
+    from read_tpu import train as TR
+    rc = TR.main([
+        "--paths-file", str(scene_dir / "paths.yaml"),
+        "--crop-size", "32x32",
+        "--batch-size", "1",
+        "--epochs", "1",
+        "--criterion", "huber_only",
+        "--save-dir", str(tmp_path / "logs_mesh"),
+        "--max-steps-per-epoch", "2",
+        "--log-freq", "1",
+        "--headless-platform", "cpu",
+        "--mesh", "2x2",
+        "--name", "meshsmoke",
+    ])
+    assert rc == 0
+    exp = os.path.join(tmp_path / "logs_mesh",
+                       os.listdir(tmp_path / "logs_mesh")[0])
+    ckpts = os.listdir(os.path.join(exp, "checkpoints"))
+    assert any(c.startswith("ckpt_toy") for c in ckpts)
+    # checkpoint texture must be saved unpadded (2000 points)
+    from read_tpu.utils import ckpt as CK
+    flat, _ = CK.load_checkpoint(
+        os.path.join(exp, "checkpoints",
+                     sorted(c for c in ckpts
+                            if c.startswith("ckpt_toy"))[0]))
+    assert flat["texture"].shape[0] == 2000
+
+
+def test_train_cli_pix2pix(scene_dir, tmp_path):
+    """--pipeline pix2pix actually dispatches (VERDICT r1 missing 6)."""
+    from read_tpu import train as TR
+    rc = TR.main([
+        "--paths-file", str(scene_dir / "paths.yaml"),
+        "--pipeline", "pix2pix",
+        "--crop-size", "32x32",
+        "--batch-size", "1",
+        "--epochs", "1",
+        "--criterion", "huber_only",
+        "--save-dir", str(tmp_path / "logs_p2p"),
+        "--max-steps-per-epoch", "2",
+        "--log-freq", "1",
+        "--headless-platform", "cpu",
+        "--name", "p2psmoke",
+    ])
+    assert rc == 0
+    exp = os.path.join(tmp_path / "logs_p2p",
+                       os.listdir(tmp_path / "logs_p2p")[0])
+    ckpts = os.listdir(os.path.join(exp, "checkpoints"))
+    assert any("pix2pix" in c for c in ckpts)
+
+
+def test_train_cli_rgb_texture(scene_dir, tmp_path):
+    """--pipeline rgb_texture dispatches and checkpoints tables."""
+    from read_tpu import train as TR
+    rc = TR.main([
+        "--paths-file", str(scene_dir / "paths.yaml"),
+        "--pipeline", "rgb_texture",
+        "--crop-size", "32x32",
+        "--batch-size", "1",
+        "--epochs", "1",
+        "--texture-size", "64",
+        "--save-dir", str(tmp_path / "logs_rgb"),
+        "--max-steps-per-epoch", "2",
+        "--log-freq", "1",
+        "--headless-platform", "cpu",
+        "--name", "rgbsmoke",
+    ])
+    assert rc == 0
+    exp = os.path.join(tmp_path / "logs_rgb",
+                       os.listdir(tmp_path / "logs_rgb")[0])
+    ckpts = os.listdir(os.path.join(exp, "checkpoints"))
+    assert any("rgb_texture" in c for c in ckpts)

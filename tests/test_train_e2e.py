@@ -48,7 +48,7 @@ def fitted():
     xyz_j = jnp.asarray(xyz)
     batch = {"total_m": jnp.asarray(ms), "target": jnp.asarray(targets)}
     hist = []
-    for i in range(60):
+    for i in range(80):
         state, metrics = train_step(state, xyz_j, batch)
         hist.append(float(metrics["loss"]))
     return state, net, cfg, xyz_j, batch, hist, eval_step
@@ -69,7 +69,7 @@ def test_psnr_improves(fitted):
 
 def test_batch_stats_advance(fitted):
     state, *_ = fitted
-    assert int(state.step) == 60
+    assert int(state.step) == 80
     leaves = jax.tree_util.tree_leaves(state.batch_stats)
     assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)
 
