@@ -57,14 +57,81 @@ def _bilinear_up4(x: jax.Array) -> jax.Array:
     return jax.image.resize(x, (b, h * 4, w * 4, c), method="bilinear")
 
 
+def _im2col_conv(x: jax.Array, kernel: jax.Array, bias, stride: int,
+                 dilation: int, pad: int, dtype) -> jax.Array:
+    """Convolution as explicit im2col + one MXU matmul.
+
+    On this TPU stack XLA lowers ``conv_general_dilated`` at ~4-5
+    TFLOP/s while plain matmuls reach ~127 TFLOP/s
+    (scripts/bench_roofline.py), so re-expressing the conv as
+    shifted-slice patch extraction (fusible elementwise copies) plus a
+    ``[B*Ho*Wo, kh*kw*Cin] @ [kh*kw*Cin, Cout]`` dot is several times
+    faster — and differentiates cleanly (slices/pad/dot all have
+    simple transposes), so it serves training too.
+    """
+    kh, kw, cin, cout = kernel.shape
+    b, h, w, _ = x.shape
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    ho = (h + 2 * pad - dilation * (kh - 1) - 1) // stride + 1
+    wo = (w + 2 * pad - dilation * (kw - 1) - 1) // stride + 1
+    cols = []
+    for dy in range(kh):
+        for dx in range(kw):
+            oy, ox = dy * dilation, dx * dilation
+            cols.append(jax.lax.slice(
+                xp, (0, oy, ox, 0),
+                (b, oy + (ho - 1) * stride + 1,
+                 ox + (wo - 1) * stride + 1, cin),
+                (1, stride, stride, 1)))
+    patches = jnp.concatenate(cols, axis=-1).astype(dtype)
+    out = jax.lax.dot_general(
+        patches.reshape(b * ho * wo, kh * kw * cin),
+        kernel.reshape(kh * kw * cin, cout).astype(dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=dtype)
+    out = out.reshape(b, ho, wo, cout)
+    if bias is not None:
+        out = out + bias.astype(dtype)
+    return out
+
+
+class _Im2ColConv(nn.Module):
+    """Drop-in conv with ``nn.Conv``'s parameter layout (kernel/bias)
+    computed via :func:`_im2col_conv`. Checkpoints are interchangeable
+    with the ``nn.Conv`` path."""
+    features: int
+    kernel_size: int
+    stride: int
+    dilation: int
+    pad: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (k, k, x.shape[-1], self.features),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return _im2col_conv(x, kernel, bias, self.stride, self.dilation,
+                            self.pad, self.dtype)
+
+
 class BasicConv(nn.Module):
-    """Gated conv block (``src/READ/models/unet.py:10-42``)."""
+    """Gated conv block (``src/READ/models/unet.py:10-42``).
+
+    ``conv_impl``: 'im2col' (default; see :func:`_im2col_conv`) or
+    'xla' (``nn.Conv``'s native lowering). Identical math and
+    parameters either way.
+    """
     out_channels: int
     kernel_size: int = 3
     stride: int = 1
     relu: bool = True
     dilation: int = 1
     dtype: Any = jnp.float32
+    conv_impl: str = "im2col"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -74,16 +141,23 @@ class BasicConv(nn.Module):
         # that is one conv with 2x the output channels, split in half —
         # fusing halves dispatch count and doubles MXU occupancy at
         # these 32-256 channel widths (same parameters, same math).
-        fm = nn.Conv(
-            name="conv_fm",
-            features=2 * self.out_channels,
-            kernel_size=(self.kernel_size, self.kernel_size),
-            strides=(self.stride, self.stride),
-            kernel_dilation=(self.dilation, self.dilation),
-            padding=[(p, p), (p, p)],
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-        )(x.astype(self.dtype))
+        if self.conv_impl == "im2col":
+            fm = _Im2ColConv(
+                name="conv_fm", features=2 * self.out_channels,
+                kernel_size=self.kernel_size, stride=self.stride,
+                dilation=self.dilation, pad=p, dtype=self.dtype,
+            )(x.astype(self.dtype))
+        else:
+            fm = nn.Conv(
+                name="conv_fm",
+                features=2 * self.out_channels,
+                kernel_size=(self.kernel_size, self.kernel_size),
+                strides=(self.stride, self.stride),
+                kernel_dilation=(self.dilation, self.dilation),
+                padding=[(p, p), (p, p)],
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+            )(x.astype(self.dtype))
         f = fm[..., :self.out_channels]
         m = fm[..., self.out_channels:]
         if self.relu:
@@ -105,12 +179,13 @@ class ResBlock(nn.Module):
     """Two gated convs with a residual (``unet.py:44-53``)."""
     channels: int
     dtype: Any = jnp.float32
+    conv_impl: str = "im2col"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = BasicConv(self.channels, 3, 1, relu=True, dtype=self.dtype)(
+        y = BasicConv(self.channels, 3, 1, relu=True, dtype=self.dtype, conv_impl=self.conv_impl)(
             x, train)
-        y = BasicConv(self.channels, 3, 1, relu=False, dtype=self.dtype)(
+        y = BasicConv(self.channels, 3, 1, relu=False, dtype=self.dtype, conv_impl=self.conv_impl)(
             y, train)
         return y + x
 
@@ -120,11 +195,12 @@ class EBlock(nn.Module):
     channels: int
     num_res: int = 8
     dtype: Any = jnp.float32
+    conv_impl: str = "im2col"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for _ in range(self.num_res):
-            x = ResBlock(self.channels, dtype=self.dtype)(x, train)
+            x = ResBlock(self.channels, dtype=self.dtype, conv_impl=self.conv_impl)(x, train)
         return x
 
 
@@ -137,43 +213,46 @@ class SCM(nn.Module):
     out_plane: int
     in_channels: int = 8
     dtype: Any = jnp.float32
+    conv_impl: str = "im2col"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         op = self.out_plane
-        y = BasicConv(op // 4, 3, 1, relu=True, dtype=self.dtype)(x, train)
-        y = BasicConv(op // 2, 1, 1, relu=True, dtype=self.dtype)(y, train)
-        y = BasicConv(op // 2, 3, 1, relu=True, dtype=self.dtype)(y, train)
+        y = BasicConv(op // 4, 3, 1, relu=True, dtype=self.dtype, conv_impl=self.conv_impl)(x, train)
+        y = BasicConv(op // 2, 1, 1, relu=True, dtype=self.dtype, conv_impl=self.conv_impl)(y, train)
+        y = BasicConv(op // 2, 3, 1, relu=True, dtype=self.dtype, conv_impl=self.conv_impl)(y, train)
         y = BasicConv(op - self.in_channels, 1, 1, relu=True,
-                      dtype=self.dtype)(y, train)
+                      dtype=self.dtype, conv_impl=self.conv_impl)(y, train)
         y = jnp.concatenate([x, y], axis=-1)
-        return BasicConv(op, 1, 1, relu=False, dtype=self.dtype)(y, train)
+        return BasicConv(op, 1, 1, relu=False, dtype=self.dtype, conv_impl=self.conv_impl)(y, train)
 
 
 class FAM(nn.Module):
     """Feature attention fusion: x1 + conv(x1*x2) (``unet.py:96-104``)."""
     channels: int
     dtype: Any = jnp.float32
+    conv_impl: str = "im2col"
 
     @nn.compact
     def __call__(self, x1, x2, train: bool = False):
         x = x1 * x2
         return x1 + BasicConv(self.channels, 3, 1, relu=False,
-                              dtype=self.dtype)(x, train)
+                              dtype=self.dtype, conv_impl=self.conv_impl)(x, train)
 
 
 class AFF(nn.Module):
     """Cross-scale fusion of 4 resampled feature maps (``unet.py:106-115``)."""
     out_channels: int
     dtype: Any = jnp.float32
+    conv_impl: str = "im2col"
 
     @nn.compact
     def __call__(self, x1, x2, x3, x4, train: bool = False):
         x = jnp.concatenate([x1, x2, x3, x4], axis=-1)
         x = BasicConv(self.out_channels, 1, 1, relu=True,
-                      dtype=self.dtype)(x, train)
+                      dtype=self.dtype, conv_impl=self.conv_impl)(x, train)
         return BasicConv(self.out_channels, 3, 1, relu=False,
-                         dtype=self.dtype)(x, train)
+                         dtype=self.dtype, conv_impl=self.conv_impl)(x, train)
 
 
 class UNet(nn.Module):
@@ -190,36 +269,38 @@ class UNet(nn.Module):
     num_res: int = 4
     num_classes: Optional[int] = None
     dtype: Any = jnp.float32
+    conv_impl: str = "im2col"
 
     @nn.compact
     def __call__(self, x, x_2, x_4, x_8, train: bool = False):
         bc = self.base_channel
         dt = self.dtype
+        ci = self.conv_impl
         cin = self.num_input_channels
 
-        z2 = SCM(bc * 2, in_channels=cin, dtype=dt, name="SCM2")(x_2, train)
-        z4 = SCM(bc * 4, in_channels=cin, dtype=dt, name="SCM1")(x_4, train)
-        z8 = SCM(bc * 8, in_channels=cin, dtype=dt, name="SCM0")(x_8, train)
+        z2 = SCM(bc * 2, in_channels=cin, dtype=dt, conv_impl=ci, name="SCM2")(x_2, train)
+        z4 = SCM(bc * 4, in_channels=cin, dtype=dt, conv_impl=ci, name="SCM1")(x_4, train)
+        z8 = SCM(bc * 8, in_channels=cin, dtype=dt, conv_impl=ci, name="SCM0")(x_8, train)
 
         # Encoder (feat_extract[0..2,6] + EBlocks, unet.py:216-233)
-        x_ = BasicConv(bc, 3, 1, relu=True, dtype=dt,
+        x_ = BasicConv(bc, 3, 1, relu=True, dtype=dt, conv_impl=ci,
                        name="feat0")(x, train)
-        res1 = EBlock(bc, self.num_res, dtype=dt, name="Encoder0")(x_, train)
+        res1 = EBlock(bc, self.num_res, dtype=dt, conv_impl=ci, name="Encoder0")(x_, train)
 
-        z = BasicConv(bc * 2, 3, 2, relu=True, dtype=dt,
+        z = BasicConv(bc * 2, 3, 2, relu=True, dtype=dt, conv_impl=ci,
                       name="feat1")(res1, train)
-        z = FAM(bc * 2, dtype=dt, name="FAM2")(z, z2, train)
-        res2 = EBlock(bc * 2, self.num_res, dtype=dt, name="Encoder1")(z, train)
+        z = FAM(bc * 2, dtype=dt, conv_impl=ci, name="FAM2")(z, z2, train)
+        res2 = EBlock(bc * 2, self.num_res, dtype=dt, conv_impl=ci, name="Encoder1")(z, train)
 
-        z = BasicConv(bc * 4, 3, 2, relu=True, dtype=dt,
+        z = BasicConv(bc * 4, 3, 2, relu=True, dtype=dt, conv_impl=ci,
                       name="feat2")(res2, train)
-        z = FAM(bc * 4, dtype=dt, name="FAM1")(z, z4, train)
-        res3 = EBlock(bc * 4, self.num_res, dtype=dt, name="Encoder2")(z, train)
+        z = FAM(bc * 4, dtype=dt, conv_impl=ci, name="FAM1")(z, z4, train)
+        res3 = EBlock(bc * 4, self.num_res, dtype=dt, conv_impl=ci, name="Encoder2")(z, train)
 
-        z = BasicConv(bc * 8, 3, 2, relu=True, dtype=dt,
+        z = BasicConv(bc * 8, 3, 2, relu=True, dtype=dt, conv_impl=ci,
                       name="feat6")(res3, train)
-        z = FAM(bc * 8, dtype=dt, name="FAM0")(z, z8, train)
-        z = EBlock(bc * 8, self.num_res, dtype=dt, name="Encoder3")(z, train)
+        z = FAM(bc * 8, dtype=dt, conv_impl=ci, name="FAM0")(z, z8, train)
+        z = EBlock(bc * 8, self.num_res, dtype=dt, conv_impl=ci, name="Encoder3")(z, train)
 
         # Cross-scale AFF fusion (unet.py:239-254); the reference's
         # F.interpolate defaults are nearest for these resamples.
@@ -233,35 +314,35 @@ class UNet(nn.Module):
         z42 = _nearest_up(z43, 2)
         z41 = _nearest_up(z42, 2)
 
-        res1 = AFF(bc, dtype=dt, name="AFF0")(res1, z21, z31, z41, train)
-        res2 = AFF(bc * 2, dtype=dt, name="AFF1")(z12, res2, z32, z42, train)
-        res3 = AFF(bc * 4, dtype=dt, name="AFF2")(z13, z23, res3, z43, train)
+        res1 = AFF(bc, dtype=dt, conv_impl=ci, name="AFF0")(res1, z21, z31, z41, train)
+        res2 = AFF(bc * 2, dtype=dt, conv_impl=ci, name="AFF1")(z12, res2, z32, z42, train)
+        res3 = AFF(bc * 4, dtype=dt, conv_impl=ci, name="AFF2")(z13, z23, res3, z43, train)
 
         # Decoder (unet.py:255-280): stride-2 k4 conv + x4 bilinear = x2 up.
-        z = DBlock(bc * 8, self.num_res, dtype=dt, name="Decoder0")(z, train)
-        z = BasicConv(bc * 4, 4, 2, relu=True, dtype=dt, name="feat7")(z, train)
+        z = DBlock(bc * 8, self.num_res, dtype=dt, conv_impl=ci, name="Decoder0")(z, train)
+        z = BasicConv(bc * 4, 4, 2, relu=True, dtype=dt, conv_impl=ci, name="feat7")(z, train)
         z = _bilinear_up4(z)
         z = jnp.concatenate([z, res3], axis=-1)
-        z = BasicConv(bc * 4, 1, 1, relu=True, dtype=dt, name="Convs0")(z, train)
-        z = DBlock(bc * 4, self.num_res, dtype=dt, name="Decoder1")(z, train)
+        z = BasicConv(bc * 4, 1, 1, relu=True, dtype=dt, conv_impl=ci, name="Convs0")(z, train)
+        z = DBlock(bc * 4, self.num_res, dtype=dt, conv_impl=ci, name="Decoder1")(z, train)
 
-        z = BasicConv(bc * 2, 4, 2, relu=True, dtype=dt, name="feat3")(z, train)
+        z = BasicConv(bc * 2, 4, 2, relu=True, dtype=dt, conv_impl=ci, name="feat3")(z, train)
         z = _bilinear_up4(z)
         z = jnp.concatenate([z, res2], axis=-1)
-        z = BasicConv(bc * 2, 1, 1, relu=True, dtype=dt, name="Convs1")(z, train)
-        z = DBlock(bc * 2, self.num_res, dtype=dt, name="Decoder2")(z, train)
+        z = BasicConv(bc * 2, 1, 1, relu=True, dtype=dt, conv_impl=ci, name="Convs1")(z, train)
+        z = DBlock(bc * 2, self.num_res, dtype=dt, conv_impl=ci, name="Decoder2")(z, train)
 
-        z = BasicConv(bc, 4, 2, relu=True, dtype=dt, name="feat4")(z, train)
+        z = BasicConv(bc, 4, 2, relu=True, dtype=dt, conv_impl=ci, name="feat4")(z, train)
         z = _bilinear_up4(z)
         z = jnp.concatenate([z, res1], axis=-1)
-        z = BasicConv(bc, 1, 1, relu=True, dtype=dt, name="Convs2")(z, train)
-        feats = DBlock(bc, self.num_res, dtype=dt, name="Decoder3")(z, train)
+        z = BasicConv(bc, 1, 1, relu=True, dtype=dt, conv_impl=ci, name="Convs2")(z, train)
+        feats = DBlock(bc, self.num_res, dtype=dt, conv_impl=ci, name="Decoder3")(z, train)
         im = BasicConv(self.num_output_channels, 3, 1, relu=False,
-                       dtype=dt, name="feat5")(feats, train)
+                       dtype=dt, conv_impl=ci, name="feat5")(feats, train)
 
         out = {"im_out": im.astype(jnp.float32)}
         if self.num_classes is not None:
-            seg = BasicConv(self.num_classes, 3, 1, relu=False, dtype=dt,
+            seg = BasicConv(self.num_classes, 3, 1, relu=False, dtype=dt, conv_impl=ci,
                             name="seg_head")(feats, train)
             out["seg_out"] = seg.astype(jnp.float32)
         return out

@@ -38,8 +38,10 @@ from read_tpu.ops import rasterize as R
 from read_tpu.pipelines import texture_pipeline as TP
 
 __all__ = ["make_mesh", "sharded_rasterize_pyramid", "sharded_gather",
-           "make_sharded_train_step", "shard_scene", "shard_state",
-           "shard_points", "prepare_scene_state", "unshard_state"]
+           "sharded_extra_maps", "make_sharded_train_step",
+           "shard_scene", "shard_state", "shard_points",
+           "shard_pointcloud_attrs", "prepare_scene_state",
+           "unshard_state"]
 
 _INT_MAX = jnp.iinfo(jnp.int32).max
 
@@ -113,6 +115,54 @@ def sharded_gather(table_local: jax.Array, id_offset: jax.Array,
     return sample
 
 
+def sharded_extra_maps(cfg, modes, ix, dep, pc_local: Dict,
+                       id_offset: jax.Array, gt_label=None,
+                       axis: str = "points"):
+    """Extra (non-neural) modality maps with points-sharded attributes.
+
+    Mirrors ``texture_pipeline._extra_maps`` (reference grouping
+    ``compose.py:136-176``) inside the shard_map body: per-point
+    attribute tables (rgb / xyz / uv2d / labels / normals_m) are sharded
+    over the ``points`` axis, so each gather serves only the rows the
+    shard owns and a psum assembles the map — same owned-row scheme as
+    :func:`sharded_gather`. View-dependent modes (normals_l/r/d) are
+    rejected exactly like the single-chip path.
+    """
+    attr_keys = {"colors": "rgb", "xyz": "xyz_c", "uv_2d": "uv2d",
+                 "labels": "labels", "normals_m": "normals"}
+    maps = []
+    for mode in modes:
+        if mode in ("normals_l", "normals_r", "normals_d"):
+            raise NotImplementedError(
+                f"view-dependent extra mode {mode!r} in the neural input "
+                "is not supported (needs per-item view matrices)")
+        if mode == "uv_1d":
+            maps.append(ix[..., None].astype(jnp.float32))
+            continue
+        if mode == "depth":
+            maps.append(dep[..., None])
+            continue
+        key = attr_keys[mode]
+        attr = pc_local.get(key)
+        if attr is None:
+            c = 3 if mode in ("normals_m", "colors", "xyz") else 1
+            maps.append(jnp.zeros(ix.shape + (c,), jnp.float32))
+            continue
+        attr = jnp.asarray(attr, jnp.float32)
+        if attr.ndim == 1:
+            attr = attr[:, None]
+        if mode == "normals_m":
+            attr = attr * 0.5 + 0.5
+        rendered = sharded_gather(attr, id_offset, ix, "none", axis)
+        if mode == "labels" and cfg.label_in_input and gt_label is not None:
+            occ = (rendered[..., 0] > 1e-9).astype(jnp.float32)
+            f = gt_label.shape[1] // ix.shape[1]
+            lab = gt_label[:, ::f, ::f].astype(jnp.float32)
+            rendered = (lab * occ)[..., None]
+        maps.append(rendered)
+    return maps
+
+
 def shard_scene(mesh: Mesh, xyz: np.ndarray, texture: jax.Array):
     """Place a scene's points+texture sharded over the ``points`` axis
     (padding N to a multiple of the axis size with far-away dummy
@@ -158,6 +208,28 @@ def shard_state(mesh: Mesh, state: TP.TrainState) -> TP.TrainState:
         tex_opt=put_tex_tree(state.tex_opt),
         lr_scale=jax.device_put(state.lr_scale, repl),
     )
+
+
+def shard_pointcloud_attrs(mesh: Mesh, pc: Dict) -> Dict:
+    """Shard a pointcloud attribute dict (rgb / xyz_c / uv2d / labels /
+    normals) over the ``points`` axis, padding rows like
+    :func:`shard_points` (pad attributes are zeros — pad points are
+    unhittable, so the rows are never gathered)."""
+    n_shards = mesh.shape["points"]
+    out = {}
+    for key, attr in pc.items():
+        if attr is None:
+            continue
+        a = np.asarray(attr, np.float32)
+        if a.ndim == 1:
+            a = a[:, None]
+        pad = (-a.shape[0]) % n_shards
+        if pad:
+            a = np.concatenate(
+                [a, np.zeros((pad,) + a.shape[1:], np.float32)])
+        out[key] = jax.device_put(
+            jnp.asarray(a), NamedSharding(mesh, P("points", None)))
+    return out
 
 
 def shard_points(mesh: Mesh, xyz: np.ndarray) -> jax.Array:
@@ -232,13 +304,20 @@ def make_sharded_train_step(net, cfg: TP.PipelineConfig, vgg_params,
     h, w = cfg.crop_size
 
     def _loss_local(params, batch_stats, tex_local, xyz_local, id_offset,
-                    batch):
+                    batch, pc_local):
         levels = sharded_rasterize_pyramid(
             xyz_local, id_offset, batch["total_m"], (h, w),
             cfg.num_scales, cfg.point_radius)
-        pyr = [sharded_gather(tex_local, id_offset, ix,
-                              cfg.texture_activation)
-               for ix, _ in levels]
+        pyr = []
+        for lvl, (ix, dep) in enumerate(levels):
+            x = sharded_gather(tex_local, id_offset, ix,
+                               cfg.texture_activation)
+            if cfg.extra_modes:
+                ex = sharded_extra_maps(cfg, cfg.extra_modes[lvl], ix,
+                                        dep, pc_local, id_offset,
+                                        batch.get("label"))
+                x = jnp.concatenate(list(ex) + [x], axis=-1)
+            pyr.append(x)
         variables = {"params": params, "batch_stats": batch_stats}
         out, mutated = net.apply(variables, *pyr, train=True,
                                  mutable=["batch_stats"])
@@ -250,14 +329,15 @@ def make_sharded_train_step(net, cfg: TP.PipelineConfig, vgg_params,
         return loss, (metrics, mutated["batch_stats"])
 
     def step_body(params, batch_stats, tex_local, xyz_local, batch,
-                  net_opt_state, tex_opt_state, lr_scale, step):
+                  net_opt_state, tex_opt_state, lr_scale, step,
+                  pc_local):
         n_local = xyz_local.shape[0]
         id_offset = (jax.lax.axis_index("points") * n_local).astype(
             jnp.int32)
         (loss, (metrics, new_bs)), grads = jax.value_and_grad(
             _loss_local, argnums=(0, 2), has_aux=True)(
                 params, batch_stats, tex_local, xyz_local, id_offset,
-                batch)
+                batch, pc_local)
         g_net, g_tex = jax.tree.map(
             functools.partial(TP._guard_grad, clip=cfg.grad_clip), grads)
         # DataParallel grad mean over the data axis (ogl/train parity:
@@ -283,18 +363,20 @@ def make_sharded_train_step(net, cfg: TP.PipelineConfig, vgg_params,
     body = shard_map(
         step_body, mesh=mesh,
         in_specs=(P(), P(), P("points", None), P("points", None),
-                  P("data"), P(), P("points", None), P(), P()),
+                  P("data"), P(), P("points", None), P(), P(),
+                  P("points", None)),
         out_specs=(P(), P(), P("points", None), P(), P("points", None),
                    P(), P()),
         check_vma=False)
 
     @jax.jit
     def train_step(state: TP.TrainState, xyz_sharded: jax.Array,
-                   batch: Dict):
+                   batch: Dict, pc_sharded: Dict = None):
         (params, new_bs, texture, net_opt_state, tex_opt_state, step,
          metrics) = body(state.params, state.batch_stats, state.texture,
                          xyz_sharded, batch, state.net_opt,
-                         state.tex_opt, state.lr_scale, state.step)
+                         state.tex_opt, state.lr_scale, state.step,
+                         pc_sharded or {})
         new_state = state.replace(
             step=step, params=params, batch_stats=new_bs, texture=texture,
             net_opt=net_opt_state, tex_opt=tex_opt_state)

@@ -417,9 +417,10 @@ def main(argv=None):
         mesh = SH.make_mesh(n_data, n_pts_axis)
         print(f"mesh: data={n_data} x points={n_pts_axis} over "
               f"{n_data * n_pts_axis} devices")
-        if cfg.extra_modes or cfg.use_mesh:
-            raise SystemExit("--mesh does not yet support extra input "
-                             "modalities or --use-mesh")
+        if cfg.use_mesh:
+            raise SystemExit("--mesh does not yet support --use-mesh "
+                             "(2D mesh-texture tables don't shard over "
+                             "the points axis)")
 
     ds_train, ds_val, texture_ckpts = get_datasets(args)
     for tr, va in zip(ds_train, ds_val):
@@ -528,7 +529,8 @@ def main(argv=None):
     _pc_cache: Dict[int, dict] = {}
 
     def pc_cache(sid: int) -> dict:
-        """Device-resident point attributes needed by extra_modes."""
+        """Device-resident point attributes needed by extra_modes
+        (points-axis sharded when training on a mesh)."""
         if sid not in _pc_cache:
             need = {m for g in cfg.extra_modes for m in g}
             attr_of = {"colors": "rgb", "labels": "labels",
@@ -539,7 +541,12 @@ def main(argv=None):
             for mode in need:
                 a = attr_of.get(mode)
                 if a and pc.get(a) is not None:
-                    out[a] = jnp.asarray(np.asarray(pc[a], np.float32))
+                    out[a] = np.asarray(pc[a], np.float32)
+            if mesh is not None:
+                from read_tpu.parallel import sharded as SH
+                out = SH.shard_pointcloud_attrs(mesh, out)
+            else:
+                out = {k: jnp.asarray(v) for k, v in out.items()}
             _pc_cache[sid] = out
         return _pc_cache[sid]
 
@@ -634,11 +641,15 @@ def main(argv=None):
                     dev_batch["label"] = jnp.asarray(batch["label"])
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec
+                pc_sharded = dev_batch.pop("pointcloud", None)
                 dsh = NamedSharding(mesh, PartitionSpec("data"))
                 dev_batch = {k: jax.device_put(v, dsh)
                              for k, v in dev_batch.items()}
-            st, metrics = train_step(states[sid], xyz_cache[sid],
-                                     dev_batch)
+                st, metrics = train_step(states[sid], xyz_cache[sid],
+                                         dev_batch, pc_sharded)
+            else:
+                st, metrics = train_step(states[sid], xyz_cache[sid],
+                                         dev_batch)
             states[sid] = st
             last_sid = sid
             acc.update({k: float(v) for k, v in metrics.items()})

@@ -128,3 +128,34 @@ def test_sharded_matches_unsharded_losses(rng):
     sharded = S.make_sharded_train_step(net, cfg, None, mesh)
     _, m_sharded = sharded(state_s, xyz_s, batch_s)
     assert abs(float(m_single["loss"]) - float(m_sharded["loss"])) < 1e-4
+
+
+def test_sharded_extra_modes_matches_unsharded(rng):
+    """Extra input modalities (colors + depth interleaved with the
+    descriptor pyramid) with points-sharded attribute tables must
+    reproduce the single-device loss exactly (owned-row gather + psum,
+    ``sharded.sharded_extra_maps``)."""
+    n, h, w = 1024, 32, 32
+    xyz, ms = _scene(rng, n, h, w, b=2)
+    targets = rng.uniform(size=(2, h, w, 3)).astype(np.float32)
+    rgb = rng.uniform(size=(n, 3)).astype(np.float32)
+    cfg = TP.PipelineConfig(
+        crop_size=(h, w), vgg_ratio=0.0, huber_ratio=1.0,
+        extra_modes=(("colors", "depth"),) * 4)
+    state, net = TP.create_state(jax.random.PRNGKey(0), cfg, n_points=n)
+    batch = {"total_m": jnp.asarray(ms), "target": jnp.asarray(targets),
+             "pointcloud": {"rgb": jnp.asarray(rgb)}}
+    single = TP.make_train_step(net, cfg, None)
+    _, m_single = single(state, jnp.asarray(xyz), batch)
+
+    mesh = S.make_mesh(1, 4)
+    state_s = S.shard_state(mesh, state)
+    xyz_s, tex_s = S.shard_scene(mesh, xyz, state_s.texture)
+    state_s = state_s.replace(texture=tex_s)
+    data_sh = NamedSharding(mesh, P("data"))
+    batch_s = {k: jax.device_put(v, data_sh)
+               for k, v in batch.items() if k != "pointcloud"}
+    pc_s = S.shard_pointcloud_attrs(mesh, {"rgb": rgb})
+    sharded = S.make_sharded_train_step(net, cfg, None, mesh)
+    _, m_sharded = sharded(state_s, xyz_s, batch_s, pc_s)
+    assert abs(float(m_single["loss"]) - float(m_sharded["loss"])) < 1e-4
