@@ -61,13 +61,17 @@ def _im2col_conv(x: jax.Array, kernel: jax.Array, bias, stride: int,
                  dilation: int, pad: int, dtype) -> jax.Array:
     """Convolution as explicit im2col + one MXU matmul.
 
-    On this TPU stack XLA lowers ``conv_general_dilated`` at ~4-5
-    TFLOP/s while plain matmuls reach ~127 TFLOP/s
-    (scripts/bench_roofline.py), so re-expressing the conv as
-    shifted-slice patch extraction (fusible elementwise copies) plus a
-    ``[B*Ho*Wo, kh*kw*Cin] @ [kh*kw*Cin, Cout]`` dot is several times
-    faster — and differentiates cleanly (slices/pad/dot all have
-    simple transposes), so it serves training too.
+    On this TPU stack XLA lowers isolated ``conv_general_dilated`` calls
+    at ~4-5 TFLOP/s while plain matmuls reach ~127 TFLOP/s
+    (scripts/bench_roofline.py); this path re-expresses the conv as
+    shifted-slice patch extraction plus a ``[B*Ho*Wo, kh*kw*Cin] @
+    [kh*kw*Cin, Cout]`` MXU dot. Measured end-to-end at the bench point
+    (scripts/bench_render_variants.py, same device window): in f32 the
+    patch materialization's HBM traffic outweighs the MXU win (9.7 vs
+    11.8 fps), so ``conv_impl='xla'`` stays the default — but this path
+    COMPILES IN BFLOAT16 (no conv op; XLA's bf16 conv lowering crashes
+    the worker at full res), which the native path cannot, and it
+    differentiates cleanly so it serves training too.
     """
     kh, kw, cin, cout = kernel.shape
     b, h, w, _ = x.shape
@@ -121,9 +125,9 @@ class _Im2ColConv(nn.Module):
 class BasicConv(nn.Module):
     """Gated conv block (``src/READ/models/unet.py:10-42``).
 
-    ``conv_impl``: 'im2col' (default; see :func:`_im2col_conv`) or
-    'xla' (``nn.Conv``'s native lowering). Identical math and
-    parameters either way.
+    ``conv_impl``: 'xla' (default, ``nn.Conv``'s native lowering) or
+    'im2col' (:func:`_im2col_conv` — the bf16-capable formulation).
+    Identical math and parameters either way; checkpoints interchange.
     """
     out_channels: int
     kernel_size: int = 3
@@ -131,7 +135,7 @@ class BasicConv(nn.Module):
     relu: bool = True
     dilation: int = 1
     dtype: Any = jnp.float32
-    conv_impl: str = "im2col"
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -179,7 +183,7 @@ class ResBlock(nn.Module):
     """Two gated convs with a residual (``unet.py:44-53``)."""
     channels: int
     dtype: Any = jnp.float32
-    conv_impl: str = "im2col"
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -195,7 +199,7 @@ class EBlock(nn.Module):
     channels: int
     num_res: int = 8
     dtype: Any = jnp.float32
-    conv_impl: str = "im2col"
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -213,7 +217,7 @@ class SCM(nn.Module):
     out_plane: int
     in_channels: int = 8
     dtype: Any = jnp.float32
-    conv_impl: str = "im2col"
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -231,7 +235,7 @@ class FAM(nn.Module):
     """Feature attention fusion: x1 + conv(x1*x2) (``unet.py:96-104``)."""
     channels: int
     dtype: Any = jnp.float32
-    conv_impl: str = "im2col"
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x1, x2, train: bool = False):
@@ -244,7 +248,7 @@ class AFF(nn.Module):
     """Cross-scale fusion of 4 resampled feature maps (``unet.py:106-115``)."""
     out_channels: int
     dtype: Any = jnp.float32
-    conv_impl: str = "im2col"
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x1, x2, x3, x4, train: bool = False):
@@ -269,7 +273,7 @@ class UNet(nn.Module):
     num_res: int = 4
     num_classes: Optional[int] = None
     dtype: Any = jnp.float32
-    conv_impl: str = "im2col"
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, x_2, x_4, x_8, train: bool = False):

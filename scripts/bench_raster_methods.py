@@ -66,6 +66,19 @@ def main():
             rows.append((n, method, ms))
             print(f"| {n:>9,} | {method:8s} | {ms:8.2f} ms |",
                   flush=True)
+        if n <= 1_000_000:
+            # Pallas scalar-RMW kernel (kept for the kernel-choice
+            # table; known slower than sort — only timed at 1M)
+            from read_tpu.ops import rasterize_pallas as RP
+            f = jax.jit(lambda p, m: RP.rasterize_pallas(
+                p, m[0], h, w))
+            try:
+                ms = bench(f, (xyz_d, tm), max(1, iters // 3))
+            except Exception as e:
+                ms = float("nan")
+                print(f"pallas@{n}: {type(e).__name__}: {e}")
+            rows.append((n, "pallas", ms))
+            print(f"| {n:>9,} | pallas   | {ms:8.2f} ms |", flush=True)
         # pooled 5-scale pyramid (the train/inference path)
         f = jax.jit(lambda p, m: R.rasterize_pyramid_pooled(
             p, m, (h, w), 5)[0])

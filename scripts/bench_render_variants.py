@@ -38,6 +38,7 @@ def main():
                     default="f32-xla,f32-im2col,bf16-im2col,"
                             "bf16-im2col-bf16tab")
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--points", type=int, default=1_000_000)
     args = ap.parse_args()
 
     import jax
@@ -50,7 +51,7 @@ def main():
     from read_tpu.scene import camera
 
     rng = np.random.default_rng(0)
-    n_points, h, w = 1_000_000, 368, 1216
+    n_points, h, w = args.points, 368, 1216
     xyz = rng.uniform(-10, 10, size=(n_points, 3)).astype(np.float32)
     xyz[:, 2] -= 25.0
     K = np.array([[720.0, 0, w / 2], [0, 720.0, h / 2], [0, 0, 1]])
