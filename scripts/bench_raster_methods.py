@@ -49,6 +49,15 @@ def main():
 
     sizes = [int(s) for s in args.sizes.split(",")]
     iters = 3 if args.quick else 10
+    # device warm-up: the tunneled chip's first timed kernel after
+    # process start can read 3-10x slow (observed 78-286 ms for a sort
+    # that times 18-25 ms warmed); burn a few dispatches first.
+    warm = jax.jit(lambda p, m: R.rasterize_batch(p, m, 64, 64)[0])
+    xw = jax.device_put(jnp.asarray(
+        np.random.default_rng(1).uniform(-10, 10, (100_000, 3)),
+        jnp.float32), dev)
+    for _ in range(5):
+        np.asarray(warm(xw, tm)[0, 0])
     rows = []
     for n in sizes:
         rng = np.random.default_rng(0)
@@ -70,8 +79,10 @@ def main():
             # Pallas scalar-RMW kernel (kept for the kernel-choice
             # table; known slower than sort — only timed at 1M)
             from read_tpu.ops import rasterize_pallas as RP
+            # [None]: bench() reads out[0][0,0,0]; the pallas path is
+            # single-view 2D, so add the batch axis
             f = jax.jit(lambda p, m: RP.rasterize_pallas(
-                p, m[0], h, w))
+                p, m[0], h, w)[0][None])
             try:
                 ms = bench(f, (xyz_d, tm), max(1, iters // 3))
             except Exception as e:
