@@ -26,14 +26,18 @@ __all__ = ["huber_loss", "cross_entropy_ignore0", "masked_background_loss",
 
 
 def huber_loss(pred: jax.Array, target: jax.Array,
-               delta: float = 1.0) -> jax.Array:
+               delta: float = 1.0, per_item: bool = False) -> jax.Array:
     """torch ``F.huber_loss`` parity: 0.5*e^2 if |e|<delta else
-    delta*(|e|-0.5*delta), mean reduction."""
+    delta*(|e|-0.5*delta), mean reduction. ``per_item=True`` reduces all
+    but the leading batch axis (unbiased batched-val metrics)."""
     err = pred - target
     abs_err = jnp.abs(err)
     quad = 0.5 * jnp.square(err)
     lin = delta * (abs_err - 0.5 * delta)
-    return jnp.mean(jnp.where(abs_err < delta, quad, lin))
+    v = jnp.where(abs_err < delta, quad, lin)
+    if per_item:
+        return jnp.mean(v.reshape(v.shape[0], -1), axis=1)
+    return jnp.mean(v)
 
 
 def l1_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
@@ -79,10 +83,15 @@ def masked_background_loss(pred: jax.Array, mask: jax.Array,
     return weight * jnp.mean(jnp.abs((pred - bkg) * off))
 
 
-def psnr(pred: jax.Array, target: jax.Array) -> jax.Array:
+def psnr(pred: jax.Array, target: jax.Array,
+         per_item: bool = False) -> jax.Array:
     """``-10 log10(mse)`` with pred clipped to [0,1]
     (``src/train.py:39-48``)."""
-    mse = jnp.mean(jnp.square(jnp.clip(pred, 0.0, 1.0) - target))
+    se = jnp.square(jnp.clip(pred, 0.0, 1.0) - target)
+    if per_item:
+        mse = jnp.mean(se.reshape(se.shape[0], -1), axis=1)
+    else:
+        mse = jnp.mean(se)
     return -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
 
 
@@ -94,7 +103,8 @@ def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> np.ndarray:
 
 
 def ssim(pred: jax.Array, target: jax.Array, max_val: float = 1.0,
-         kernel_size: int = 11, sigma: float = 1.5) -> jax.Array:
+         kernel_size: int = 11, sigma: float = 1.5,
+         per_item: bool = False) -> jax.Array:
     """Mean SSIM over a batch of ``[B, H, W, C]`` images (Wang et al.)."""
     k = jnp.asarray(_gaussian_kernel(kernel_size, sigma))
     c = pred.shape[-1]
@@ -115,4 +125,7 @@ def ssim(pred: jax.Array, target: jax.Array, max_val: float = 1.0,
     mu_pt = blur(pred * target) - mu_p * mu_t
     num = (2 * mu_p * mu_t + c1) * (2 * mu_pt + c2)
     den = (mu_p ** 2 + mu_t ** 2 + c1) * (mu_pp + mu_tt + c2)
-    return jnp.mean(num / den)
+    v = num / den
+    if per_item:
+        return jnp.mean(v.reshape(v.shape[0], -1), axis=1)
+    return jnp.mean(v)

@@ -163,13 +163,16 @@ def vgg19_features(params: list, x: jax.Array,
 
 def vgg_loss(params: list, pred: jax.Array, target: jax.Array,
              backend: str = "caffe",
-             partialconv: bool = False) -> jax.Array:
+             partialconv: bool = False,
+             per_item: bool = False) -> jax.Array:
     """Sum of L1 distances over the 13 ReLU taps (``vgg_loss.py:90-111``).
 
     ``partialconv=True`` derives a validity mask from the target
     (``mask = target.sum(channels) > eps``, ``vgg_loss.py:93-96``) and
     runs both sides' first conv as a partial conv — the masked
     perceptual-loss variant used for masked-background scenes.
+    ``per_item=True`` returns a ``[B]`` vector (batched-val metrics
+    without tail-padding bias).
     """
     mask = None
     if partialconv:
@@ -179,7 +182,11 @@ def vgg_loss(params: list, pred: jax.Array, target: jax.Array,
     ft = vgg19_features(params, target, backend, mask=mask)
     loss = 0.0
     for a, b in zip(fp, ft):
-        loss = loss + jnp.mean(jnp.abs(a - b))
+        d = jnp.abs(a - b)
+        if per_item:
+            loss = loss + jnp.mean(d.reshape(d.shape[0], -1), axis=1)
+        else:
+            loss = loss + jnp.mean(d)
     return loss
 
 

@@ -24,8 +24,11 @@ VMEM:
 
 Inference only (eval-mode BatchNorm is a per-channel affine:
 ``scale = gamma / sqrt(var + eps)``, ``offset = beta - mean * scale``).
-Training keeps the XLA path (its backward is XLA's job); the UNet
-switches per-call via ``conv_backend`` (``models/unet.py``).
+Training keeps the XLA path (its backward is XLA's job). These
+row-band kernels are standalone (tests + scripts/bench_gated_conv.py);
+the production inference backend is the packed-lane variant in
+``ops/gated_conv_pack.py`` (``conv_impl='pallas'``), which supersedes
+the C<128 lane-padding limitation measured here.
 
 Accumulation is always f32 (``preferred_element_type``); in/out dtype
 may be f32 or bf16.

@@ -145,8 +145,15 @@ def sharded_extra_maps(cfg, modes, ix, dep, pc_local: Dict,
         key = attr_keys[mode]
         attr = pc_local.get(key)
         if attr is None:
-            c = 3 if mode in ("normals_m", "colors", "xyz") else 1
-            maps.append(jnp.zeros(ix.shape + (c,), jnp.float32))
+            # match single-chip render_mode semantics exactly: only a
+            # missing 'labels' table zero-fills (render_modes.py:66-68);
+            # other missing attributes are a scene-data error there and
+            # must not silently change the net input width here.
+            if mode != "labels":
+                raise KeyError(
+                    f"extra mode {mode!r} needs point attribute "
+                    f"{key!r}, absent from the sharded pointcloud")
+            maps.append(jnp.zeros(ix.shape + (1,), jnp.float32))
             continue
         attr = jnp.asarray(attr, jnp.float32)
         if attr.ndim == 1:

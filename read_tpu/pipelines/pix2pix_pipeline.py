@@ -52,7 +52,8 @@ def multiscale_inputs(modes: List[str], levels, pointcloud: Dict,
 def create_pix2pix_state(key: jax.Array, cfg: TP.PipelineConfig,
                          in_channels: int = 3):
     net = UNet(num_input_channels=in_channels,
-               num_classes=cfg.num_classes, dtype=cfg.dtype)
+               num_classes=cfg.num_classes, dtype=cfg.dtype,
+               conv_impl=cfg.conv_impl)
     h, w = cfg.crop_size
     pyr = [jnp.zeros((1, h // s, w // s, in_channels), jnp.float32)
            for s in (1, 2, 4, 8)]
@@ -63,6 +64,7 @@ def create_pix2pix_state(key: jax.Array, cfg: TP.PipelineConfig,
         "params": variables["params"],
         "batch_stats": variables.get("batch_stats", {}),
         "opt": opt.init(variables["params"]),
+        "lr_scale": jnp.ones((), jnp.float32),
     }
     return state, net, opt
 
@@ -93,9 +95,12 @@ def make_pix2pix_step(net: UNet, cfg: TP.PipelineConfig, opt,
         g = jax.tree.map(
             functools.partial(TP._guard_grad, clip=cfg.grad_clip), g)
         updates, new_opt = opt.update(g, state["opt"], state["params"])
+        # plateau decay rides lr_scale (ReduceLROnPlateau parity)
+        updates = jax.tree.map(lambda u: u * state["lr_scale"], updates)
         params = optax.apply_updates(state["params"], updates)
         metrics["loss"] = loss
         return {"step": state["step"] + 1, "params": params,
-                "batch_stats": new_bs, "opt": new_opt}, metrics
+                "batch_stats": new_bs, "opt": new_opt,
+                "lr_scale": state["lr_scale"]}, metrics
 
     return step

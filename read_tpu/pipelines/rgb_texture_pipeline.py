@@ -45,7 +45,8 @@ def create_rgb_texture_state(key: jax.Array, texture_size: int,
                                  levels=levels, init_method="0.5")
     opt = optax.rmsprop(lr, decay=0.99, eps=1e-8)
     return {"step": jnp.zeros((), jnp.int32), "tables": tables,
-            "opt": opt.init(tables)}, opt
+            "opt": opt.init(tables),
+            "lr_scale": jnp.ones((), jnp.float32)}, opt
 
 
 def make_rgb_texture_step(opt, pointcloud: Dict, h: int, w: int,
@@ -87,9 +88,12 @@ def make_rgb_texture_step(opt, pointcloud: Dict, h: int, w: int,
         g = jax.tree.map(
             functools.partial(TP._guard_grad, clip=grad_clip), g)
         updates, new_opt = opt.update(g, state["opt"], state["tables"])
+        # plateau decay rides lr_scale (ReduceLROnPlateau parity with the
+        # main loop; the optimizer's base lr stays fixed)
+        updates = jax.tree.map(lambda u: u * state["lr_scale"], updates)
         tables = optax.apply_updates(state["tables"], updates)
         return ({"step": state["step"] + 1, "tables": tables,
-                 "opt": new_opt},
+                 "opt": new_opt, "lr_scale": state["lr_scale"]},
                 {"loss": loss, "psnr": TP.L.psnr(pred, batch["target"])})
 
     return step

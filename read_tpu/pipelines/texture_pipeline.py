@@ -79,6 +79,11 @@ class PipelineConfig:
     # masked by rendered-label occupancy (``dynamic.py:243-249``)
     label_in_input: bool = False
     dtype: Any = jnp.float32
+    # UNet conv formulation: 'xla' (native conv lowering) or 'im2col'
+    # (explicit patch-matmul — the bf16-compilable route; see
+    # models/unet.py:_im2col_conv). Threaded through the CLI, the
+    # checkpoint config, and NeuralRenderer.
+    conv_impl: str = "xla"
 
     @property
     def net_in_channels(self) -> int:
@@ -89,6 +94,87 @@ class PipelineConfig:
                 1 if m in ("depth", "labels", "uv_1d") else 3
                 for m in self.extra_modes[0])
         return self.descriptor_size + extra
+
+
+def parse_format_geometry(input_format: str):
+    """Derive (point_radius, relative_point_size, extra_modes) from the
+    input-format DSL string (``gl/dataset.py:39-82``). Shared by the
+    train CLI and checkpoint-driven inference so both reconstruct the
+    exact same raster geometry."""
+    from read_tpu.scene.formats import parse_input_format
+    specs = parse_input_format(input_format)
+    relative_ps = any(sp.splat_mode for sp in specs)
+    point_radius = 0
+    for sp in specs:
+        point_radius = max(point_radius,
+                           sp.point_size if sp.splat_mode
+                           else (sp.point_size - 1) // 2)
+    # each uv_1d token anchors a scale; following non-uv tokens are the
+    # extra modalities concatenated before the texture sample
+    # (``compose.py:146-156`` grouping)
+    groups = []
+    for sp in specs:
+        if sp.mode == "uv_1d":
+            groups.append([])
+        elif groups:
+            groups[-1].append(sp.mode)
+    extra_modes = ()
+    if any(groups):
+        if len(set(map(tuple, groups))) != 1:
+            raise ValueError(
+                "input_format: every scale must carry the SAME extra "
+                f"modalities (one UNet input width); got {groups}")
+        extra_modes = tuple(tuple(g) for g in groups)
+    return point_radius, relative_ps, extra_modes
+
+
+def config_from_dict(d: dict, crop_size=None,
+                     train_dataset_args: Optional[dict] = None
+                     ) -> PipelineConfig:
+    """Build a :class:`PipelineConfig` from an args-style dict — either
+    the train CLI's ``vars(args)`` or a checkpoint's embedded config
+    (the reference's ``load_pipeline`` property, ``pipeline.py:34-56``:
+    a checkpoint reconstructs the exact training pipeline)."""
+    tda = train_dataset_args or {}
+    criterion = d.get("criterion", "vgg")
+    point_radius, relative_ps, extra_modes = parse_format_geometry(
+        d.get("input_format",
+              "uv_1d_p1, uv_1d_p1_ds1, uv_1d_p1_ds2, uv_1d_p1_ds3, "
+              "uv_1d_p1_ds4"))
+    if crop_size is None:
+        crop_size = d.get("crop_size", (256, 256))
+        if isinstance(crop_size, str):
+            w, h = crop_size.lower().split("x")
+            crop_size = (int(h), int(w))
+        else:
+            crop_size = tuple(int(x) for x in crop_size)
+    return PipelineConfig(
+        crop_size=tuple(crop_size),
+        point_radius=point_radius,
+        relative_point_size=relative_ps,
+        extra_modes=extra_modes,
+        label_in_input=bool(tda.get("label_in_input", False)),
+        drop_points=float(tda.get("drop_points", 0.0)),
+        perturb_points=float(tda.get("perturb_points", 0.0)),
+        descriptor_size=int(d.get("descriptor_size", 8)),
+        supersampling=int(d.get("supersampling", 1) or 1),
+        lr=float(d.get("lr", 1e-4)),
+        texture_lr=float(d.get("texture_lr", 1e-1)),
+        vgg_ratio=0.0 if criterion == "huber_only" else 1.0,
+        vgg_partialconv=criterion == "vgg_partial",
+        huber_ratio=1e4 if criterion != "huber_only" else 1.0,
+        reg_weight=float(d.get("reg_weight", 0.0) or 0.0),
+        texture_activation=d.get("texture_activation", "none"),
+        use_mask=bool(d.get("use_mask", False)
+                      or d.get("masked_background", False)),
+        masked_background=bool(d.get("masked_background", False)),
+        use_mesh=bool(d.get("use_mesh", False)),
+        texture_size=int(d.get("texture_size", 512) or 512),
+        num_classes=d.get("num_classes"),
+        dtype=jnp.bfloat16 if d.get("dtype") == "bfloat16"
+        else jnp.float32,
+        conv_impl=d.get("conv_impl", "xla") or "xla",
+    )
 
 
 class TrainState(struct.PyTreeNode):
@@ -143,7 +229,8 @@ def create_state(key: jax.Array, cfg: PipelineConfig, n_points: int,
     """
     if net is None:
         net = UNet(num_input_channels=cfg.net_in_channels,
-                   num_classes=cfg.num_classes, dtype=cfg.dtype)
+                   num_classes=cfg.num_classes, dtype=cfg.dtype,
+                   conv_impl=cfg.conv_impl)
     h, w = cfg.crop_size
     k_tex, k_net = jax.random.split(key)
     dummy_pyr = [jnp.zeros((1, h // s, w // s, cfg.net_in_channels),
@@ -282,8 +369,13 @@ def _forward(net: UNet, cfg: PipelineConfig, params, batch_stats, texture,
     return out, batch_stats, pyr
 
 
-def _losses(cfg: PipelineConfig, vgg_params, out: Dict, batch: Dict):
-    """Assemble the src-tree loss dict (``src/train.py:219-238``)."""
+def _losses(cfg: PipelineConfig, vgg_params, out: Dict, batch: Dict,
+            per_item: bool = False):
+    """Assemble the src-tree loss dict (``src/train.py:219-238``).
+
+    ``per_item=True`` returns ``[B]`` vectors instead of batch means so
+    batched validation can drop tail-padding rows before averaging
+    (the val loop pads the last batch to a fixed compiled shape)."""
     im = out["im_out"]
     target = batch["target"]
     mask = batch.get("mask")
@@ -292,7 +384,7 @@ def _losses(cfg: PipelineConfig, vgg_params, out: Dict, batch: Dict):
         im_l = im * mask
     else:
         im_l = im
-    hub = L.huber_loss(im_l, target)
+    hub = L.huber_loss(im_l, target, per_item=per_item)
     loss = cfg.huber_ratio * hub
     metrics["huber_loss"] = hub
     if vgg_params is not None and cfg.vgg_ratio:
@@ -302,20 +394,29 @@ def _losses(cfg: PipelineConfig, vgg_params, out: Dict, batch: Dict):
         vgg = jax.checkpoint(
             lambda p, t: V.vgg_loss(
                 vgg_params, p, t,
-                partialconv=cfg.vgg_partialconv))(im_l, target)
+                partialconv=cfg.vgg_partialconv,
+                per_item=per_item))(im_l, target)
         loss = loss + cfg.vgg_ratio * vgg
         metrics["vgg_loss"] = vgg
     if cfg.num_classes is not None and "seg_out" in out \
             and batch.get("label") is not None:
         seg = L.cross_entropy_ignore0(out["seg_out"], batch["label"])
+        if per_item:
+            seg = jnp.broadcast_to(seg, loss.shape)
         loss = loss + cfg.seg_ratio * seg
         metrics["seg_loss"] = seg
     if cfg.masked_background and mask is not None:
         # main loss renormalized by mask mean + background pull
         # (train.py:183-197)
-        loss = loss / jnp.maximum(jnp.mean(mask), 1e-6)
-        loss = loss + L.masked_background_loss(im, mask)
-    metrics["psnr"] = L.psnr(im, target)
+        if per_item:
+            mmean = jnp.mean(mask.reshape(mask.shape[0], -1), axis=1)
+            off = jnp.abs(im * (1.0 - mask))
+            bkg = 500.0 * jnp.mean(off.reshape(off.shape[0], -1), axis=1)
+            loss = loss / jnp.maximum(mmean, 1e-6) + bkg
+        else:
+            loss = loss / jnp.maximum(jnp.mean(mask), 1e-6)
+            loss = loss + L.masked_background_loss(im, mask)
+    metrics["psnr"] = L.psnr(im, target, per_item=per_item)
     return loss, metrics
 
 
@@ -392,7 +493,9 @@ def make_train_step(net: UNet, cfg: PipelineConfig, vgg_params,
 
 
 def make_eval_step(net: UNet, cfg: PipelineConfig, vgg_params):
-    """Jitted eval step: forward + metrics (loss, PSNR, SSIM)."""
+    """Jitted eval step: forward + PER-ITEM metrics ``[B]`` (loss, PSNR,
+    SSIM) so batched validation can drop tail-padding rows before
+    averaging (val loss invariant to ``--batch-size-val``)."""
 
     @jax.jit
     def eval_step(state: TrainState, xyz: jax.Array, batch: Dict):
@@ -405,10 +508,11 @@ def make_eval_step(net: UNet, cfg: PipelineConfig, vgg_params):
                              faces=batch.get("faces"),
                              pointcloud=batch.get("pointcloud"),
                              gt_label=batch.get("label"))
-        loss, metrics = _losses(cfg, vgg_params, out, batch)
+        loss, metrics = _losses(cfg, vgg_params, out, batch,
+                                per_item=True)
         metrics["loss"] = loss
         metrics["ssim"] = L.ssim(jnp.clip(out["im_out"], 0, 1),
-                                 batch["target"])
+                                 batch["target"], per_item=True)
         return out["im_out"], metrics
 
     return eval_step

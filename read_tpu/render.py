@@ -14,8 +14,8 @@ Parity targets:
 
 The whole neural path (project -> z-buffer -> descriptor gather -> UNet)
 is ONE jit; the only host traffic is the final frame readback for
-display/encoding (the reference bounces через CUDA-GL interop instead,
-``render.py:103-171``).
+display/encoding (the reference bounces frames through CUDA-GL interop
+instead, ``render.py:103-171``).
 """
 
 from __future__ import annotations
@@ -25,7 +25,7 @@ import json
 import os
 import sys
 import time
-from typing import Dict, Optional
+from typing import Optional
 
 import numpy as np
 
@@ -62,19 +62,28 @@ def nearest_train(view_matrices, query_m: np.ndarray) -> int:
 
 
 class NeuralRenderer:
-    """Checkpoint-driven fused renderer (the ``OGL`` equivalent)."""
+    """Checkpoint-driven fused renderer (the ``OGL`` equivalent).
+
+    The checkpoint's embedded config reconstructs the EXACT training
+    pipeline (the reference's ``load_pipeline`` property,
+    ``pipeline.py:34-56``): splat radius / ``ps`` z-scaled sizes from the
+    input format, extra input modalities, per-point manifest sizes,
+    mesh-texture path (+ triangle faces), seg head, dtype, and the UNet
+    conv formulation (``conv_impl``) are all restored — a model trained
+    with any feature combination renders identically at inference.
+    """
 
     def __init__(self, scene_path: str, ckpt_path: str,
                  viewport: Optional[tuple] = None,
                  supersampling: Optional[int] = None,
                  temporal_average: bool = False,
-                 dtype: str = "float32"):
+                 dtype: Optional[str] = None,
+                 conv_impl: Optional[str] = None):
         import jax
         import jax.numpy as jnp
 
-        from read_tpu.models import texture as T
-        from read_tpu.models.unet import UNet
         from read_tpu.ops import rasterize as R
+        from read_tpu.pipelines import texture_pipeline as TP
         from read_tpu.scene import camera
         from read_tpu.scene.io import load_scene_data
         from read_tpu.utils import ckpt as CK
@@ -82,20 +91,24 @@ class NeuralRenderer:
         self.jax, self.jnp = jax, jnp
         self.scene_data = load_scene_data(scene_path)
         flat, meta = CK.load_checkpoint(ckpt_path)
-        self.config = meta.get("config", {})
+        self.config = dict(meta.get("config", {}))
+        if dtype is not None:          # explicit overrides only
+            self.config["dtype"] = dtype
+        if conv_impl is not None:
+            self.config["conv_impl"] = conv_impl
+        if supersampling is not None:
+            self.config["supersampling"] = supersampling
 
         pc = self.scene_data["pointcloud"]
         self.xyz = jnp.asarray(np.asarray(pc["xyz"], np.float32))
-        self.texture = jnp.asarray(flat["texture"])
-        assert self.texture.shape[0] == self.xyz.shape[0], (
-            f"texture rows {self.texture.shape[0]} != points "
-            f"{self.xyz.shape[0]}")
 
         # viewport must be /16 (reference gl/nn.py:107-109); round down.
         vw, vh = viewport or self.scene_data["config"]["viewport_size"]
         self.vw, self.vh = (vw // 16) * 16, (vh // 16) * 16
-        self.ss = supersampling or int(self.config.get(
-            "supersampling", 1) or 1)
+        cfg = TP.config_from_dict(self.config,
+                                  crop_size=(self.vh, self.vw))
+        self.cfg = cfg
+        self.ss = cfg.supersampling
         self.temporal_average = temporal_average
         self._last_pyr = None
 
@@ -106,48 +119,73 @@ class NeuralRenderer:
         self.proj = camera.gl_projection(K, (self.vw, self.vh),
                                          znear=0.1, zfar=1000.0)
 
-        num_classes = self.config.get("num_classes")
-        self.net = UNet(
-            num_input_channels=int(self.config.get("descriptor_size", 8)),
-            num_classes=num_classes,
-            dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32)
+        # rebuild the train-time state (template-driven: handles point
+        # AND mesh textures, seg heads, any conv_impl) and load weights
+        n_points = self.xyz.shape[0]
+        tmpl_cfg = cfg.replace(crop_size=(32, 32))  # cheap net.init
+        state, net = TP.create_state(jax.random.PRNGKey(0), tmpl_cfg,
+                                     n_points=n_points)
+        state, _ = CK.load_checkpoint(ckpt_path, template=state)
+        self.net, self.state = net, state
+        self.texture = state.texture
+        if not cfg.use_mesh:
+            assert state.texture.shape[0] == n_points, (
+                f"texture rows {state.texture.shape[0]} != points "
+                f"{n_points}")
 
-        # reconstruct variables from the flat checkpoint
-        params = {k.split("params/", 1)[1]: v for k, v in flat.items()
-                  if k.startswith("params/")}
-        stats = {k.split("batch_stats/", 1)[1]: v for k, v in flat.items()
-                 if k.startswith("batch_stats/")}
-        self.variables = {
-            "params": _nest(params),
-            "batch_stats": _nest(stats),
-        }
-        act = self.config.get("texture_activation", "none")
+        # scene-side inputs the training step received from the batch
+        self.uv2d = None
+        self.faces = None
+        if cfg.use_mesh:
+            self.uv2d = jnp.asarray(np.asarray(pc["uv2d"], np.float32))
+            f = pc.get("faces")
+            if f is not None:
+                self.faces = jnp.asarray(
+                    np.asarray(f, np.int64).reshape(-1, 3).astype(
+                        np.int32))
+        self.point_sizes = None
+        ps = self.scene_data.get("point_sizes")
+        if ps is not None:
+            self.point_sizes = jnp.asarray(
+                np.asarray(ps, np.float32).reshape(-1))
+        self.pc_attrs = None
+        if cfg.extra_modes:
+            need = {m for g in cfg.extra_modes for m in g}
+            attr_of = {"colors": "rgb", "labels": "labels",
+                       "xyz": "xyz_c", "normals_m": "normals",
+                       "uv_2d": "uv2d"}
+            self.pc_attrs = {}
+            for mode in need:
+                a = attr_of.get(mode)
+                if a and pc.get(a) is not None:
+                    self.pc_attrs[a] = jnp.asarray(
+                        np.asarray(pc[a], np.float32))
 
-        h, w, ss = self.vh, self.vw, self.ss
+        h, w = self.vh, self.vw
 
-        def _pyramids(texture, xyz, total_m):
-            levels = R.rasterize_pyramid_pooled(
-                xyz, total_m, (h * ss, w * ss), 4)
-            pyr = []
-            for ix, _ in levels:
-                x = T.sample_point_texture(texture, ix, act)
-                if ss > 1:
-                    b, hh, ww, c = x.shape
-                    x = jax.image.resize(x, (b, hh // ss, ww // ss, c),
-                                         "bilinear")
-                pyr.append(x)
-            return tuple(pyr)
+        def _full_fwd(state, xyz, total_m):
+            out, _, pyr = TP._forward(
+                net, cfg, state.params, state.batch_stats,
+                state.texture, xyz, total_m, train=False, shape=(h, w),
+                uv2d=self.uv2d, point_sizes=self.point_sizes,
+                faces=self.faces, pointcloud=self.pc_attrs)
+            return out["im_out"], tuple(pyr)
 
-        def _apply_net(pyr):
-            out = self.net.apply(self.variables, *pyr, train=False)
+        def _infer(state, xyz, total_m):
+            return _full_fwd(state, xyz, total_m)[0]
+
+        def _pyramids(state, xyz, total_m):
+            return _full_fwd(state, xyz, total_m)[1]
+
+        def _apply_net(state, pyr):
+            out = net.apply({"params": state.params,
+                             "batch_stats": state.batch_stats},
+                            *pyr, train=False)
             return out["im_out"]
-
-        def _infer(texture, xyz, total_m):
-            return _apply_net(_pyramids(texture, xyz, total_m))
 
         self._pyr_fn = jax.jit(_pyramids)
         self._net_fn = jax.jit(_apply_net)
-        self._infer = jax.jit(_infer)
+        self._infer_fn = jax.jit(_infer)
         self._raster = jax.jit(
             lambda xyz, m: R.rasterize_batch(xyz, m, h, w))
 
@@ -163,17 +201,18 @@ class NeuralRenderer:
         """Render one neural frame; returns ``[h, w, 3]`` float in [0,1]."""
         m = self.total_matrix(view_matrix, K)[None]
         if not self.temporal_average:
-            img = self._infer(self.texture, self.xyz, self.jnp.asarray(m))
+            img = self._infer_fn(self.state, self.xyz,
+                                 self.jnp.asarray(m))
             return np.clip(np.asarray(img)[0], 0.0, 1.0)
         # temporal averaging of the net INPUT pyramid with the previous
         # frame's (compose.py:167-171; last_input stores the averaged
         # pyramid, as the reference does).
-        pyr = self._pyr_fn(self.texture, self.xyz, self.jnp.asarray(m))
+        pyr = self._pyr_fn(self.state, self.xyz, self.jnp.asarray(m))
         if self._last_pyr is not None:
             pyr = tuple((a + b) * 0.5
                         for a, b in zip(pyr, self._last_pyr))
         self._last_pyr = pyr
-        img = self._net_fn(pyr)
+        img = self._net_fn(self.state, pyr)
         return np.clip(np.asarray(img)[0], 0.0, 1.0)
 
     def render_mode(self, mode: str, view_matrix: np.ndarray,
@@ -183,6 +222,10 @@ class NeuralRenderer:
         m = self.total_matrix(view_matrix, K)[None]
         idx, dep = self._raster(self.xyz, self.jnp.asarray(m))
         if mode == "pca":
+            if self.cfg.use_mesh:
+                raise ValueError(
+                    "pca descriptor view needs a point texture "
+                    "(checkpoint was trained with --use-mesh)")
             colors = pca_color(np.asarray(self.texture))
             out = RM.gather_attribute(self.jnp.asarray(colors), idx)
             return np.asarray(out)[0]
@@ -200,17 +243,6 @@ class NeuralRenderer:
         if out.shape[-1] == 1:
             out = np.repeat(out, 3, -1)
         return np.clip(out.astype(np.float32), 0, 1)
-
-
-def _nest(flat: Dict[str, np.ndarray]) -> dict:
-    out: dict = {}
-    for k, v in flat.items():
-        parts = k.split("/")
-        cur = out
-        for p in parts[:-1]:
-            cur = cur.setdefault(p, {})
-        cur[parts[-1]] = v
-    return out
 
 
 def main(argv=None):

@@ -115,6 +115,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--conv-impl", dest="conv_impl", type=str,
+                   default="xla", choices=["xla", "im2col"],
+                   help="UNet conv formulation: 'xla' native lowering or "
+                        "'im2col' patch-matmul (the bf16-compilable "
+                        "route; models/unet.py). Recorded in checkpoints "
+                        "and restored at inference.")
     p.add_argument("--max-steps-per-epoch", dest="max_steps_per_epoch",
                    type=int, default=None)
     p.add_argument("--headless-platform", dest="headless_platform",
@@ -241,20 +247,37 @@ def run_alt_pipeline(args, cfg, ds_train, ds_val, writer, exp_dir,
         from read_tpu.ops import render_modes as RM
         import functools as _ft
         h, w = cfg.crop_size
-        rgb_states, steps = {}, {}
+        rgb_states, steps, scene_faces = {}, {}, {}
         for ds in ds_train:
             key, sub = jax.random.split(key)
             st, opt = RGB.create_rgb_texture_state(
                 sub, args.texture_size, lr=args.texture_lr)
             rgb_states[ds.id] = st
+            # --use-mesh + faces: triangle-rasterized uv maps
+            # (GL_TRIANGLES parity, gl/render.py:69-73)
+            faces = scene_pc[ds.id].get("faces")
+            faces = np.asarray(faces, np.int64).reshape(-1, 3).astype(
+                np.int32) if args.use_mesh and faces is not None else None
+            scene_faces[ds.id] = faces
             steps[ds.id] = RGB.make_rgb_texture_step(
                 opt, scene_pc[ds.id], h, w,
-                reg_weight=args.reg_weight)
+                reg_weight=args.reg_weight, faces=faces)
 
-        @_ft.partial(jax.jit, static_argnames=("shape",))
-        def eval_fwd_rgb(tables, uv2d, xyz, total_m, shape):
-            idx, _ = R.rasterize_batch(xyz, total_m, *shape)
-            uv_map = RM.gather_attribute(uv2d, idx)
+        @_ft.partial(jax.jit, static_argnames=("shape", "sid"))
+        def eval_fwd_rgb(tables, uv2d, xyz, total_m, shape, sid):
+            faces = scene_faces[sid]
+            if faces is None:
+                idx, _ = R.rasterize_batch(xyz, total_m, *shape)
+                uv_map = RM.gather_attribute(uv2d, idx)
+            else:
+                from read_tpu.ops import rasterize_mesh as RMesh
+                fj = jnp.asarray(faces)
+                idx, _ = RMesh.rasterize_mesh_batch(xyz, fj, total_m,
+                                                    *shape)
+                uv_map = jax.vmap(
+                    lambda fi, m: RMesh.interpolate_uv(xyz, fj, uv2d,
+                                                       m, fi))(
+                    idx, total_m)
             mask = (idx >= 0)[..., None].astype(jnp.float32)
             return RGB.rgb_texture_forward(tables, uv_map, mask)
 
@@ -262,8 +285,32 @@ def run_alt_pipeline(args, cfg, ds_train, ds_val, writer, exp_dir,
             uv2d = jnp.asarray(np.asarray(scene_pc[sid]["uv2d"],
                                           np.float32))
             return eval_fwd_rgb(rgb_states[sid]["tables"], uv2d,
-                                xyz_dev[sid], total_m, shape)
+                                xyz_dev[sid], total_m, shape, sid)
 
+    from read_tpu.pipelines import texture_pipeline as _TP
+    if args.resume:
+        # full-state resume parity with the main loop (SURVEY.md 5.4)
+        for ds in ds_train:
+            tmpl = state if args.pipeline == "pix2pix" \
+                else rgb_states[ds.id]
+            cand = args.resume
+            if not os.path.exists(os.path.join(cand, "state.npz")):
+                cand = CK.latest_checkpoint(
+                    args.resume, f"ckpt_{args.pipeline}_{ds.name}") or \
+                    os.path.join(args.resume,
+                                 f"best_{args.pipeline}_{ds.name}")
+            restored, _meta = CK.load_checkpoint(cand, template=tmpl)
+            if args.pipeline == "pix2pix":
+                state = restored
+            else:
+                rgb_states[ds.id] = restored
+            print(f"resumed {ds.name} from {cand} "
+                  f"(step {int(restored['step'])})")
+            if args.pipeline == "pix2pix":
+                break  # one shared state
+
+    sched = _TP.ReduceLROnPlateau(factor=args.plateau_factor,
+                                  patience=args.plateau_patience)
     best_val = float("inf")
     for epoch in range(args.epochs):
         acc = AccumDict()
@@ -303,12 +350,20 @@ def run_alt_pipeline(args, cfg, ds_train, ds_val, writer, exp_dir,
                 psnr = float(L.psnr(img[0], jnp.asarray(item["target"])))
                 vacc.update({"psnr": psnr})
         val_psnr = vacc.mean("psnr") if vacc["psnr"] else 0.0
+        val_loss = -val_psnr
+        scale = sched.step(val_loss)
+        if args.pipeline == "pix2pix":
+            state["lr_scale"] = jnp.asarray(scale, jnp.float32)
+        else:
+            for sid in rgb_states:
+                rgb_states[sid]["lr_scale"] = jnp.asarray(
+                    scale, jnp.float32)
         print(f"epoch {epoch}: train {acc.mean('loss'):.5f} "
-              f"val psnr {val_psnr:.2f}")
+              f"val psnr {val_psnr:.2f} lr_scale {scale:.4f}")
         if writer:
             writer.add_scalar("train/loss", acc.mean("loss"), epoch)
             writer.add_scalar("val/psnr", val_psnr, epoch)
-        val_loss = -val_psnr
+            writer.add_scalar("lr_scale", scale, epoch)
         if val_loss < best_val or epoch % args.save_freq == 0:
             for ds in ds_train:
                 obj = state if args.pipeline == "pix2pix" \
@@ -321,6 +376,13 @@ def run_alt_pipeline(args, cfg, ds_train, ds_val, writer, exp_dir,
                     extra={"epoch": epoch, "val_psnr": val_psnr})
                 CK.rotate_checkpoints(
                     ckpt_root, f"ckpt_{args.pipeline}_{ds.name}", keep=3)
+                if val_loss < best_val:
+                    CK.save_checkpoint(
+                        os.path.join(
+                            ckpt_root,
+                            f"best_{args.pipeline}_{ds.name}"),
+                        obj, config=config_dict(args),
+                        extra={"epoch": epoch, "val_psnr": val_psnr})
             best_val = min(best_val, val_loss)
     print(f"done; best val psnr {-best_val:.2f}")
     return 0
@@ -351,64 +413,16 @@ def main(argv=None):
     except Exception:
         writer = None
 
-    # derive splat radius from the input-format DSL (e.g. uv_1d_p3 ->
-    # 3x3 splats; p1 = single pixel). 'ps' (z-relative) splats get a
-    # static cap of 2*size+1 so near points can grow beyond the base
-    # size (programs.py:188-192); per-point manifest sizes are threaded
-    # into the batch below.
-    from read_tpu.scene.formats import parse_input_format
-    specs = parse_input_format(args.input_format)
-    relative_ps = any(sp.splat_mode for sp in specs)
-    point_radius = 0
-    for sp in specs:
-        point_radius = max(point_radius,
-                           sp.point_size if sp.splat_mode
-                           else (sp.point_size - 1) // 2)
-    # group the format into scales: each uv_1d token anchors a scale,
-    # following non-uv tokens are extra modalities concatenated before
-    # the texture sample (``compose.py:146-156`` grouping)
-    groups = []
-    for sp in specs:
-        if sp.mode == "uv_1d":
-            groups.append([])
-        elif groups:
-            groups[-1].append(sp.mode)
-    extra_modes = ()
-    if any(groups):
-        if len(set(map(tuple, groups))) != 1:
-            raise SystemExit(
-                "input_format: every scale must carry the SAME extra "
-                f"modalities (one UNet input width); got {groups}")
-        extra_modes = tuple(tuple(g) for g in groups)
-
+    # splat radius / 'ps' z-scaled sizes / extra modalities all derive
+    # from the input-format DSL; the SAME builder reconstructs the config
+    # from a checkpoint at inference (TP.config_from_dict).
     h, w = parse_size(args.crop_size)
-    cfg = TP.PipelineConfig(
-        crop_size=(h, w),
-        point_radius=point_radius,
-        relative_point_size=relative_ps,
-        extra_modes=extra_modes,
-        label_in_input=bool(
-            args.train_dataset_args.get("label_in_input", False)),
-        # device-side augmentations (the reference applies these via GL
-        # vertex buffers in workers; here they live in the jitted step)
-        drop_points=float(args.train_dataset_args.get("drop_points", 0.0)),
-        perturb_points=float(
-            args.train_dataset_args.get("perturb_points", 0.0)),
-        descriptor_size=args.descriptor_size,
-        supersampling=args.supersampling,
-        lr=args.lr, texture_lr=args.texture_lr,
-        vgg_ratio=0.0 if args.criterion == "huber_only" else 1.0,
-        vgg_partialconv=args.criterion == "vgg_partial",
-        huber_ratio=1e4 if args.criterion != "huber_only" else 1.0,
-        reg_weight=args.reg_weight,
-        texture_activation=args.texture_activation,
-        use_mask=args.use_mask or args.masked_background,
-        masked_background=args.masked_background,
-        use_mesh=args.use_mesh,
-        texture_size=args.texture_size,
-        num_classes=args.num_classes,
-        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
-    )
+    try:
+        cfg = TP.config_from_dict(
+            vars(args), crop_size=(h, w),
+            train_dataset_args=args.train_dataset_args)
+    except ValueError as e:
+        raise SystemExit(str(e))
 
     mesh = None
     if args.mesh:
@@ -563,6 +577,19 @@ def main(argv=None):
                 else jnp.asarray(np.asarray(ps, np.float32).reshape(-1))
         return _psize_cache[sid]
 
+    _faces_cache: Dict[int, Optional["jnp.ndarray"]] = {}
+
+    def faces_cache(sid: int):
+        """Triangle index buffer ``[T,3] int32`` for --use-mesh scenes
+        (reference draws indexed GL_TRIANGLES, ``gl/render.py:69-73``);
+        None when the scene has no faces (vertex-splat fallback)."""
+        if sid not in _faces_cache:
+            f = scene_by_id[sid].scene_data["pointcloud"].get("faces")
+            _faces_cache[sid] = None if f is None or not cfg.use_mesh \
+                else jnp.asarray(np.asarray(f, np.int64).reshape(-1, 3)
+                                 .astype(np.int32))
+        return _faces_cache[sid]
+
     def scene_xyz(ds) -> "jnp.ndarray":
         xyz = np.asarray(ds.scene_data["pointcloud"]["xyz"], np.float32)
         if mesh is not None:
@@ -633,6 +660,8 @@ def main(argv=None):
                 dev_batch["label"] = jnp.asarray(batch["label"])
             if cfg.use_mesh:
                 dev_batch["uv2d"] = uv2d_cache(sid)
+                if faces_cache(sid) is not None:
+                    dev_batch["faces"] = faces_cache(sid)
             if psize_cache(sid) is not None:
                 dev_batch["point_sizes"] = psize_cache(sid)
             if cfg.extra_modes:
@@ -713,14 +742,16 @@ def main(argv=None):
                     dev_batch["mask"] = jnp.asarray(batch["mask"])
                 if cfg.use_mesh:
                     dev_batch["uv2d"] = uv2d_cache(ds.id)
+                    if faces_cache(ds.id) is not None:
+                        dev_batch["faces"] = faces_cache(ds.id)
                 if psize_cache(ds.id) is not None:
                     dev_batch["point_sizes"] = psize_cache(ds.id)
                 if cfg.extra_modes:
                     dev_batch["pointcloud"] = pc_cache(ds.id)
                 img, metrics = eval_step(st, xyz, dev_batch)
-                # metrics are batch means incl. tail padding; the tail
-                # repeats a real view so the bias is bounded and only
-                # affects the final partial batch.
+                # metrics are per-item [B] vectors; only the first
+                # n_valid rows are real views (the tail is padding and
+                # is dropped at accumulation).
                 pending.append((n_valid, metrics))
                 if writer and n_dumped == 0:
                     grid = np.concatenate(
@@ -745,8 +776,9 @@ def main(argv=None):
         # single host sync for the whole epoch's metrics
         pending = jax.device_get(pending)
         for n_valid, metrics in pending:
-            for _ in range(n_valid):
-                acc.update({k: float(v) for k, v in metrics.items()})
+            for j in range(n_valid):
+                acc.update({k: float(np.asarray(v).reshape(-1)[j])
+                            for k, v in metrics.items()})
         return acc.mean("loss") if acc["loss"] else float("inf"), acc
 
     ckpt_root = os.path.join(exp_dir, "checkpoints")

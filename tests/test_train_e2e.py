@@ -63,8 +63,10 @@ def test_psnr_improves(fitted):
     state, net, cfg, xyz, batch, hist, eval_step = fitted
     img, metrics = eval_step(state, xyz, batch)
     assert img.shape == batch["target"].shape
-    assert float(metrics["psnr"]) > 8.5, float(metrics["psnr"])
-    assert 0.0 <= float(metrics["ssim"]) <= 1.0
+    # eval metrics are per-item [B] vectors (padding-free batched val)
+    assert metrics["psnr"].shape == (batch["target"].shape[0],)
+    assert float(jnp.mean(metrics["psnr"])) > 8.5
+    assert 0.0 <= float(jnp.mean(metrics["ssim"])) <= 1.0
 
 
 def test_batch_stats_advance(fitted):
