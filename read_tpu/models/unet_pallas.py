@@ -1,0 +1,227 @@
+"""MIMO-UNet inference forward on the packed-lane Pallas kernels.
+
+``conv_impl='pallas'``: a pure function over the SAME flax variables as
+:class:`read_tpu.models.unet.UNet` (checkpoints interchange bit-for-bit)
+that runs the whole forward in channel-major ``[C, H, W]`` layout:
+
+- every 3x3/stride-1 gated conv -> ``ops.gated_conv_pack.gated_conv3x3_chw``
+  (one MXU matmul per tile, epilogue fused in VMEM);
+- every 1x1 conv -> ``gated_conv1x1_chw`` (gated matmul);
+- the six strided transition convs (k3s2 / k4s2) -> the im2col matmul
+  formulation in NHWC (a local transpose; they run at reduced
+  resolution so the transpose cost is marginal);
+- resamples (nearest up/down, x4 bilinear) and concats stay XLA ops on
+  the channel-major arrays.
+
+Eval-mode BatchNorm is folded into each kernel's per-channel affine
+(``scale = gamma / sqrt(var + eps)``, ``offset = beta - mean*scale``).
+Inference only — training differentiates the XLA/im2col path of
+``models/unet.py``.
+
+Architecture parity: ``src/READ/models/unet.py:121-280`` (see
+``models/unet.py`` for the layer map and reference citations).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from read_tpu.models.unet import _im2col_conv
+from read_tpu.ops import gated_conv_pack as GP
+
+__all__ = ["unet_pallas_apply"]
+
+_BN_EPS = 1e-5
+
+
+def _fold_bn(conv_params: Dict, conv_stats: Dict):
+    g = conv_params["norm"]["scale"]
+    beta = conv_params["norm"]["bias"]
+    mean = conv_stats["norm"]["mean"]
+    var = conv_stats["norm"]["var"]
+    scale = g * jax.lax.rsqrt(var + _BN_EPS)
+    return scale, beta - mean * scale
+
+
+def _elu(x):
+    return jnp.where(x > 0, x, jnp.exp(jnp.minimum(x, 0.0)) - 1.0)
+
+
+class _Ctx:
+    """Carries variables + options through the forward."""
+
+    def __init__(self, params, stats, dtype, interpret):
+        self.params = params
+        self.stats = stats
+        self.dtype = dtype
+        self.interpret = interpret
+
+    def conv(self, name: str, x: jax.Array, relu: bool,
+             stride: int = 1) -> jax.Array:
+        """One BasicConv on channel-major ``x [C, H, W]``."""
+        p = _subtree(self.params, name)
+        s = _subtree(self.stats, name)
+        w = p["conv_fm"]["kernel"]
+        b = p["conv_fm"]["bias"]
+        scale, offset = _fold_bn(p, s)
+        k = w.shape[0]
+        cin, h, wd = x.shape
+        if stride == 1 and k == 3:
+            out = GP.gated_conv3x3_chw(
+                x.reshape(cin, h * wd), w, b, scale, offset,
+                w_img=wd, relu=relu, gated=True,
+                interpret=self.interpret)
+            return out.reshape(-1, h, wd)
+        if stride == 1 and k == 1:
+            out = GP.gated_conv1x1_chw(
+                x.reshape(cin, h * wd), w, b, scale, offset,
+                relu=relu, gated=True, interpret=self.interpret)
+            return out.reshape(-1, h, wd)
+        # strided transition conv: im2col matmul in NHWC
+        pad = (k - 1) // 2
+        xn = jnp.transpose(x, (1, 2, 0))[None]  # [1, H, W, C]
+        fm = _im2col_conv(xn, w.astype(self.dtype), b, stride, 1, pad,
+                          self.dtype)
+        c = fm.shape[-1] // 2
+        f, m = fm[..., :c], fm[..., c:]
+        if relu:
+            f = _elu(f)
+        out = f * jax.nn.sigmoid(m)
+        out = out * scale + offset
+        return jnp.transpose(out[0], (2, 0, 1)).astype(self.dtype)
+
+
+def _subtree(tree: Dict, path: str) -> Dict:
+    cur = tree
+    for part in path.split("/"):
+        cur = cur[part]
+    return cur
+
+
+def _res_block(ctx: _Ctx, name: str, x):
+    y = ctx.conv(f"{name}/BasicConv_0", x, relu=True)
+    y = ctx.conv(f"{name}/BasicConv_1", y, relu=False)
+    return y + x
+
+
+def _eblock(ctx: _Ctx, name: str, x, num_res: int):
+    for i in range(num_res):
+        x = _res_block(ctx, f"{name}/ResBlock_{i}", x)
+    return x
+
+
+def _scm(ctx: _Ctx, name: str, x):
+    y = ctx.conv(f"{name}/BasicConv_0", x, relu=True)
+    y = ctx.conv(f"{name}/BasicConv_1", y, relu=True)
+    y = ctx.conv(f"{name}/BasicConv_2", y, relu=True)
+    y = ctx.conv(f"{name}/BasicConv_3", y, relu=True)
+    y = jnp.concatenate([x, y], axis=0)
+    return ctx.conv(f"{name}/BasicConv_4", y, relu=False)
+
+
+def _fam(ctx: _Ctx, name: str, x1, x2):
+    return x1 + ctx.conv(f"{name}/BasicConv_0", x1 * x2, relu=False)
+
+
+def _aff(ctx: _Ctx, name: str, x1, x2, x3, x4):
+    x = jnp.concatenate([x1, x2, x3, x4], axis=0)
+    x = ctx.conv(f"{name}/BasicConv_0", x, relu=True)
+    return ctx.conv(f"{name}/BasicConv_1", x, relu=False)
+
+
+def _ndown(x, f):
+    return x[:, ::f, ::f]
+
+
+def _nup(x, f):
+    x = jnp.repeat(x, f, axis=1)
+    return jnp.repeat(x, f, axis=2)
+
+
+def _bilinear_up4(x):
+    c, h, w = x.shape
+    return jax.image.resize(x, (c, h * 4, w * 4), method="bilinear")
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_res", "interpret", "dtype_name"))
+def unet_pallas_apply(variables: Dict, x, x_2, x_4, x_8,
+                      num_res: int = 4, interpret: bool = False,
+                      dtype_name: str = "float32") -> Dict[str, Any]:
+    """Eval-mode UNet forward. Inputs NHWC ``[1, h, w, c]`` (batch 1);
+    returns ``{'im_out': [1, h, w, 3]}`` (+ ``seg_out`` when the
+    checkpoint has a seg head) — same contract as ``UNet.apply`` with
+    ``train=False``."""
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    params, stats = variables["params"], variables["batch_stats"]
+    ctx = _Ctx(params, stats, dtype, interpret)
+
+    def chw(t):
+        return jnp.transpose(t[0], (2, 0, 1)).astype(dtype)
+
+    x, x_2, x_4, x_8 = chw(x), chw(x_2), chw(x_4), chw(x_8)
+
+    z2 = _scm(ctx, "SCM2", x_2)
+    z4 = _scm(ctx, "SCM1", x_4)
+    z8 = _scm(ctx, "SCM0", x_8)
+
+    x_ = ctx.conv("feat0", x, relu=True)
+    res1 = _eblock(ctx, "Encoder0", x_, num_res)
+
+    z = ctx.conv("feat1", res1, relu=True, stride=2)
+    z = _fam(ctx, "FAM2", z, z2)
+    res2 = _eblock(ctx, "Encoder1", z, num_res)
+
+    z = ctx.conv("feat2", res2, relu=True, stride=2)
+    z = _fam(ctx, "FAM1", z, z4)
+    res3 = _eblock(ctx, "Encoder2", z, num_res)
+
+    z = ctx.conv("feat6", res3, relu=True, stride=2)
+    z = _fam(ctx, "FAM0", z, z8)
+    z = _eblock(ctx, "Encoder3", z, num_res)
+
+    z12 = _ndown(res1, 2)
+    z13 = _ndown(res1, 4)
+    z21 = _nup(res2, 2)
+    z23 = _ndown(res2, 2)
+    z32 = _nup(res3, 2)
+    z31 = _nup(res3, 4)
+    z43 = _nup(z, 2)
+    z42 = _nup(z43, 2)
+    z41 = _nup(z42, 2)
+
+    res1 = _aff(ctx, "AFF0", res1, z21, z31, z41)
+    res2 = _aff(ctx, "AFF1", z12, res2, z32, z42)
+    res3 = _aff(ctx, "AFF2", z13, z23, res3, z43)
+
+    z = _eblock(ctx, "Decoder0", z, num_res)
+    z = ctx.conv("feat7", z, relu=True, stride=2)
+    z = _bilinear_up4(z)
+    z = jnp.concatenate([z, res3], axis=0)
+    z = ctx.conv("Convs0", z, relu=True)
+    z = _eblock(ctx, "Decoder1", z, num_res)
+
+    z = ctx.conv("feat3", z, relu=True, stride=2)
+    z = _bilinear_up4(z)
+    z = jnp.concatenate([z, res2], axis=0)
+    z = ctx.conv("Convs1", z, relu=True)
+    z = _eblock(ctx, "Decoder2", z, num_res)
+
+    z = ctx.conv("feat4", z, relu=True, stride=2)
+    z = _bilinear_up4(z)
+    z = jnp.concatenate([z, res1], axis=0)
+    z = ctx.conv("Convs2", z, relu=True)
+    feats = _eblock(ctx, "Decoder3", z, num_res)
+    im = ctx.conv("feat5", feats, relu=False)
+
+    def nhwc(t):
+        return jnp.transpose(t, (1, 2, 0))[None].astype(jnp.float32)
+
+    out = {"im_out": nhwc(im)}
+    if "seg_head" in params:
+        out["seg_out"] = nhwc(ctx.conv("seg_head", feats, relu=False))
+    return out

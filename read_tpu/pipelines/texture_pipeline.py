@@ -228,9 +228,12 @@ def create_state(key: jax.Array, cfg: PipelineConfig, n_points: int,
     is additionally protected by the gradient guard in the train step.
     """
     if net is None:
+        # 'pallas' is an inference-only dispatch (models/unet_pallas.py)
+        # over the SAME parameter tree; the flax net trains via 'xla'.
+        impl = "xla" if cfg.conv_impl == "pallas" else cfg.conv_impl
         net = UNet(num_input_channels=cfg.net_in_channels,
                    num_classes=cfg.num_classes, dtype=cfg.dtype,
-                   conv_impl=cfg.conv_impl)
+                   conv_impl=impl)
     h, w = cfg.crop_size
     k_tex, k_net = jax.random.split(key)
     dummy_pyr = [jnp.zeros((1, h // s, w // s, cfg.net_in_channels),
@@ -282,21 +285,18 @@ def _extra_maps(cfg: PipelineConfig, modes, ix, dep, pointcloud,
     return maps
 
 
-def _forward(net: UNet, cfg: PipelineConfig, params, batch_stats, texture,
-             xyz, total_m, train: bool, shape=None, uv2d=None,
-             ndc_jitter=None, point_sizes=None, faces=None,
-             pointcloud=None, gt_label=None):
-    """Rasterize the multi-scale pyramid, gather descriptors, run the net.
+def _build_pyramid(cfg: PipelineConfig, texture, xyz, total_m,
+                   shape=None, uv2d=None, ndc_jitter=None,
+                   point_sizes=None, faces=None, pointcloud=None,
+                   gt_label=None):
+    """Rasterize the multi-scale pyramid and gather descriptors.
 
-    Mirrors ``NetAndTexture.forward`` (``src/READ/models/compose.py:
-    134-192``) without its per-item python loop: the whole batch renders
-    and runs in one program. ``shape`` overrides the render size (eval
-    renders full frames at the /16-aligned viewport, ``src:139-143``,
-    while training renders crops). ``point_sizes`` is the scene
-    manifest's optional per-point size buffer (``gl/utils.py:330-336``).
-    ``faces`` (with ``use_mesh``) renders uv maps with the triangle
-    rasterizer — full interiors, GL parity (``gl/render.py:69-73``) —
-    instead of vertex splats.
+    ``shape`` overrides the render size (eval renders full frames at the
+    /16-aligned viewport, ``src:139-143``, while training renders
+    crops). ``point_sizes`` is the scene manifest's optional per-point
+    size buffer (``gl/utils.py:330-336``). ``faces`` (with ``use_mesh``)
+    renders uv maps with the triangle rasterizer — full interiors, GL
+    parity (``gl/render.py:69-73``) — instead of vertex splats.
     """
     h, w = shape or cfg.crop_size
     ss = cfg.supersampling
@@ -321,13 +321,7 @@ def _forward(net: UNet, cfg: PipelineConfig, params, batch_stats, texture,
                 x = jax.image.resize(x, (b, hh // ss, ww // ss, c),
                                      "bilinear")
             pyr.append(x)
-        variables = {"params": params, "batch_stats": batch_stats}
-        if train:
-            out, mutated = net.apply(variables, *pyr, train=True,
-                                     mutable=["batch_stats"])
-            return out, mutated["batch_stats"], pyr
-        out = net.apply(variables, *pyr, train=False)
-        return out, batch_stats, pyr
+        return pyr
     levels = R.rasterize_pyramid_pooled(
         xyz, total_m, (h * ss, w * ss), num_scales=cfg.num_scales,
         point_radius=cfg.point_radius, ndc_jitter=ndc_jitter,
@@ -360,6 +354,23 @@ def _forward(net: UNet, cfg: PipelineConfig, params, batch_stats, texture,
             b, hh, ww, c = x.shape
             x = jax.image.resize(x, (b, hh // ss, ww // ss, c), "bilinear")
         pyr.append(x)
+    return pyr
+
+
+def _forward(net: UNet, cfg: PipelineConfig, params, batch_stats, texture,
+             xyz, total_m, train: bool, shape=None, uv2d=None,
+             ndc_jitter=None, point_sizes=None, faces=None,
+             pointcloud=None, gt_label=None):
+    """Build the pyramid (:func:`_build_pyramid`) and run the net.
+
+    Mirrors ``NetAndTexture.forward`` (``src/READ/models/compose.py:
+    134-192``) without its per-item python loop: the whole batch renders
+    and runs in one program.
+    """
+    pyr = _build_pyramid(cfg, texture, xyz, total_m, shape=shape,
+                         uv2d=uv2d, ndc_jitter=ndc_jitter,
+                         point_sizes=point_sizes, faces=faces,
+                         pointcloud=pointcloud, gt_label=gt_label)
     variables = {"params": params, "batch_stats": batch_stats}
     if train:
         out, mutated = net.apply(variables, *pyr, train=True,

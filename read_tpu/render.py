@@ -162,26 +162,37 @@ class NeuralRenderer:
                         np.asarray(pc[a], np.float32))
 
         h, w = self.vh, self.vw
+        use_pallas_net = cfg.conv_impl == "pallas"
+        dtype_name = "bfloat16" if cfg.dtype == jnp.bfloat16 \
+            else "float32"
 
-        def _full_fwd(state, xyz, total_m):
-            out, _, pyr = TP._forward(
-                net, cfg, state.params, state.batch_stats,
-                state.texture, xyz, total_m, train=False, shape=(h, w),
-                uv2d=self.uv2d, point_sizes=self.point_sizes,
-                faces=self.faces, pointcloud=self.pc_attrs)
-            return out["im_out"], tuple(pyr)
-
-        def _infer(state, xyz, total_m):
-            return _full_fwd(state, xyz, total_m)[0]
-
-        def _pyramids(state, xyz, total_m):
-            return _full_fwd(state, xyz, total_m)[1]
+        # Mosaic kernels need a TPU; elsewhere (CPU tests) interpret
+        pallas_interpret = jax.default_backend() != "tpu"
 
         def _apply_net(state, pyr):
-            out = net.apply({"params": state.params,
-                             "batch_stats": state.batch_stats},
-                            *pyr, train=False)
+            if use_pallas_net:
+                # packed-lane Pallas inference forward over the same
+                # variables (models/unet_pallas.py); batch-1 frames
+                from read_tpu.models import unet_pallas as UP
+                out = UP.unet_pallas_apply(
+                    {"params": state.params,
+                     "batch_stats": state.batch_stats}, *pyr,
+                    dtype_name=dtype_name,
+                    interpret=pallas_interpret)
+            else:
+                out = net.apply({"params": state.params,
+                                 "batch_stats": state.batch_stats},
+                                *pyr, train=False)
             return out["im_out"]
+
+        def _pyramids(state, xyz, total_m):
+            return tuple(TP._build_pyramid(
+                cfg, state.texture, xyz, total_m, shape=(h, w),
+                uv2d=self.uv2d, point_sizes=self.point_sizes,
+                faces=self.faces, pointcloud=self.pc_attrs))
+
+        def _infer(state, xyz, total_m):
+            return _apply_net(state, _pyramids(state, xyz, total_m))
 
         self._pyr_fn = jax.jit(_pyramids)
         self._net_fn = jax.jit(_apply_net)
@@ -260,6 +271,14 @@ def main(argv=None):
                         "| labels | pca")
     p.add_argument("--viewport", default=None, help="WxH override")
     p.add_argument("--supersampling", type=int, default=None)
+    p.add_argument("--conv-impl", dest="conv_impl", default=None,
+                   choices=["xla", "im2col", "pallas"],
+                   help="override the checkpoint's UNet conv backend "
+                        "('pallas' = packed-lane fused kernels, "
+                        "inference-only)")
+    p.add_argument("--dtype", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="override the checkpoint's compute dtype")
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--fps-report", action="store_true")
     args = p.parse_args(argv)
@@ -271,7 +290,8 @@ def main(argv=None):
         w, h = args.viewport.lower().split("x")
         viewport = (int(w), int(h))
     r = NeuralRenderer(args.scene, args.ckpt, viewport=viewport,
-                       supersampling=args.supersampling)
+                       supersampling=args.supersampling,
+                       conv_impl=args.conv_impl, dtype=args.dtype)
 
     if args.trajectory:
         poses = np.loadtxt(args.trajectory).reshape(-1, 4, 4)

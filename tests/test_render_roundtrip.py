@@ -138,3 +138,28 @@ def test_roundtrip(scene_dir, tmp_path, case):
     ref_img, _ = eval_step(state, r.xyz, batch)
     ref_img = np.clip(np.asarray(ref_img)[0], 0, 1)
     assert np.max(np.abs(ref_img - img)) < 1e-5, case
+
+
+def test_roundtrip_pallas_override(scene_dir, tmp_path):
+    """--conv-impl pallas at inference must agree with the flax eval
+    forward on the same checkpoint (kernels in interpret mode on CPU)."""
+    from read_tpu import train as TR
+    from read_tpu.render import NeuralRenderer
+
+    save = tmp_path / "logs_pallas"
+    rc = TR.main([
+        "--paths-file", str(scene_dir / "paths.yaml"),
+        "--crop-size", "32x32", "--batch-size", "1", "--epochs", "1",
+        "--criterion", "huber_only", "--save-dir", str(save),
+        "--max-steps-per-epoch", "2", "--log-freq", "1",
+        "--headless-platform", "cpu", "--name", "pal", "--eval-all",
+    ])
+    assert rc == 0
+    ckpt = save / os.listdir(save)[0] / "checkpoints" / "best_toy"
+    r_ref = NeuralRenderer(str(scene_dir / "scene.yaml"), str(ckpt))
+    r_pal = NeuralRenderer(str(scene_dir / "scene.yaml"), str(ckpt),
+                           conv_impl="pallas")
+    pose = np.eye(4)
+    a = r_ref.infer(pose)
+    b = r_pal.infer(pose)
+    assert np.max(np.abs(a - b)) < 1e-3
