@@ -55,6 +55,32 @@ def init_point_texture(key: Optional[jax.Array], n_points: int,
     raise ValueError(f"unknown init_method: {init_method}")
 
 
+def gather_rows_packed(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """Row gather tuned for TPU HBM granularity.
+
+    A naive ``table[idx]`` on a ``[N, C<=8]`` table reads one (8, 128)
+    VMEM tile (4 KB) per element for 32 useful bytes. Reshaping the
+    table to ``[N/G, G*C]`` rows of >=128 lanes (a FREE view of the same
+    bytes) gathers one 512-byte group per element instead, and the
+    wanted row is peeled out in-register with a one-hot contraction —
+    ~4x less HBM traffic at C=8.
+
+    Args:
+      table: ``[N, C]``; idx: ``[...]`` int32 in [0, N).
+    Returns ``[..., C]`` (no masking — caller handles empties).
+    """
+    n, c = table.shape
+    g = max(1, 128 // max(c, 1))
+    if n % g:
+        table = jnp.pad(table, ((0, g - n % g), (0, 0)))
+    grouped = table.reshape(-1, g * c)
+    rows = grouped[idx // g]                       # [..., G*C]
+    onehot = jax.nn.one_hot(idx % g, g, dtype=table.dtype)
+    picked = jnp.einsum("...gc,...g->...c",
+                        rows.reshape(rows.shape[:-1] + (g, c)), onehot)
+    return picked
+
+
 def sample_point_texture(table: jax.Array, index_map: jax.Array,
                          activation: str = "none") -> jax.Array:
     """Gather descriptors through a point-index map.

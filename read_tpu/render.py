@@ -248,6 +248,10 @@ class NeuralRenderer:
                 d = np.where(filled, (d - lo) / max(hi - lo, 1e-9), 0)
             return np.repeat(d[..., None], 3, -1).astype(np.float32)
         pc = dict(self.scene_data["pointcloud"])
+        if self.scene_data.get("texture") is not None:
+            # scene texture image for the GL 2D-sampling submode
+            pc["texture_image"] = np.asarray(
+                self.scene_data["texture"], np.float32) / 255.0
         out = RM.render_mode(mode, idx, dep, pc,
                              view_matrix=np.asarray(view_matrix))
         out = np.asarray(out)[0]
@@ -268,7 +272,7 @@ def main(argv=None):
                         "the scene's own view matrices")
     p.add_argument("--mode", default="neural",
                    help="neural | colors | normals_m/l/r/d | depth | xyz "
-                        "| labels | pca")
+                        "| labels | pca | lit (Blinn-Phong) | texture2d")
     p.add_argument("--viewport", default=None, help="WxH override")
     p.add_argument("--supersampling", type=int, default=None)
     p.add_argument("--conv-impl", dest="conv_impl", default=None,

@@ -112,6 +112,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    type=int, default=5)
     p.add_argument("--plateau-factor", dest="plateau_factor", type=float,
                    default=0.5)
+    p.add_argument("--plateau-metric", dest="plateau_metric", type=str,
+                   default="loss", choices=["loss", "psnr"],
+                   help="metric driving ReduceLROnPlateau: 'loss' "
+                        "(reference behavior, train.py:554-555) or "
+                        "'psnr' (robust when the perceptual term is "
+                        "noisy, e.g. the no-pretrained-VGG fallback)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
@@ -796,7 +802,9 @@ def main(argv=None):
         val_loss, vacc = run_val_epoch(
             epoch, dump_dir=os.path.join(exp_dir, "val_imgs")
             if epoch % args.save_freq == 0 else None)
-        scale = sched.step(val_loss)
+        sched_metric = val_loss if args.plateau_metric == "loss" \
+            else -vacc.mean("psnr")
+        scale = sched.step(sched_metric)
         for sid in states:
             states[sid] = states[sid].replace(
                 lr_scale=jnp.asarray(scale, jnp.float32))
@@ -808,7 +816,7 @@ def main(argv=None):
                 writer.add_scalar(f"val/{k}", v, epoch)
             writer.add_scalar("lr_scale", scale, epoch)
 
-        if epoch % args.save_freq == 0 or val_loss < best_val:
+        if epoch % args.save_freq == 0 or sched_metric < best_val:
             for ds in ds_train:
                 # checkpoints are always saved unsharded/unpadded so a
                 # single-chip run (or viewer) can load them directly
@@ -819,13 +827,14 @@ def main(argv=None):
                     extra={"epoch": epoch, "val_loss": val_loss})
                 CK.rotate_checkpoints(ckpt_root, f"ckpt_{ds.name}",
                                       keep=3)
-            if val_loss < best_val:
-                best_val = val_loss
+            if sched_metric < best_val:
+                best_val = sched_metric
                 for ds in ds_train:
                     CK.save_checkpoint(
                         os.path.join(ckpt_root, f"best_{ds.name}"),
                         eval_state(ds.id), config=config_dict(args),
-                        extra={"epoch": epoch, "val_loss": val_loss})
+                        extra={"epoch": epoch, "val_loss": val_loss,
+                               "val_psnr": vacc.mean("psnr")})
     print(f"done; best val loss {best_val:.5f}")
     return 0
 

@@ -13,7 +13,8 @@ Key bindings (reference ``viewer.py:323-380,460-468``):
   n            neural mode          c   colors mode
   m            cycle normals modes  v   depth mode
   b            xyz mode             l   labels mode
-  p            PCA descriptor mode
+  p            PCA descriptor mode  h   Blinn-Phong lit mode
+  u            2D-texture sampling mode
   t            toggle temporal averaging
   g            snap to nearest training pose
   o            print current pose
@@ -122,6 +123,13 @@ class ViewerApp:
             self._normals_cycle = (self._normals_cycle + 1) % 4
             self.mode = ["normals_m", "normals_l", "normals_r",
                          "normals_d"][self._normals_cycle]
+        elif key == "h":
+            # Blinn-Phong lit mode (reference use_light toggle,
+            # programs.py:228-246)
+            self.mode = "lit"
+        elif key == "u":
+            # GL 2D-texture sampling submode (programs.py:253-255)
+            self.mode = "texture2d"
         elif key == "t":
             self.r.temporal_average = not self.r.temporal_average
             self.r._last_pyr = None

@@ -10,6 +10,7 @@ from read_tpu.pipelines import texture_pipeline as TP
 from read_tpu.utils import ckpt as CK
 
 
+@pytest.mark.slow
 def test_roundtrip_trainstate(tmp_path):
     cfg = TP.PipelineConfig(crop_size=(32, 32))
     state, net = TP.create_state(jax.random.PRNGKey(0), n_points=100,
@@ -51,6 +52,7 @@ def test_shape_mismatch_rejected(tmp_path):
         CK.load_checkpoint(path, template=other)
 
 
+@pytest.mark.slow
 def test_latest_and_rotation(tmp_path):
     cfg = TP.PipelineConfig(crop_size=(32, 32))
     state, _ = TP.create_state(jax.random.PRNGKey(0), n_points=10,

@@ -32,6 +32,7 @@ def test_basicconv_impls_match(k, s, d):
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_unet_impls_match():
     rng = np.random.default_rng(7)
     pyr = [jnp.asarray(rng.normal(size=(1, 32 // f, 32 // f, 8))

@@ -9,6 +9,7 @@ maps (``READ/datasets/dynamic.py:243-249``).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from read_tpu.pipelines import texture_pipeline as TP
 from read_tpu.scene import camera
@@ -31,6 +32,7 @@ def test_net_in_channels():
     assert TP.PipelineConfig().net_in_channels == 8
 
 
+@pytest.mark.slow
 def test_train_step_with_extra_colors(rng):
     n, h, w = 512, 32, 32
     xyz, ms = _scene(rng, n, h, w)

@@ -3,12 +3,14 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from read_tpu.criterions import vgg as V
 from read_tpu.pipelines import texture_pipeline as TP
 from read_tpu.scene import camera
 
 
+@pytest.mark.slow
 def test_mesh_texture_pipeline_trains(rng):
     n, h, w = 1500, 32, 32
     xyz = rng.uniform(-2, 2, size=(n, 3)).astype(np.float32)

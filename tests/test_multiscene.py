@@ -53,6 +53,7 @@ def two_scene_dir(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_two_scene_training(two_scene_dir, tmp_path):
     from read_tpu import train as TR
     rc = TR.main([

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from read_tpu.ops import rasterize as R
 from read_tpu.pipelines import pix2pix_pipeline as PX
@@ -30,6 +31,7 @@ def _scene(rng, n=2000, h=32, w=32, b=2):
     return xyz, colors, np.stack(ms), np.stack(tgts)
 
 
+@pytest.mark.slow
 def test_pix2pix_converges(rng):
     xyz, colors, ms, tgts = _scene(rng)
     cfg = TP.PipelineConfig(crop_size=(32, 32), vgg_ratio=0.0,

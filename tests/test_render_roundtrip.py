@@ -10,6 +10,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from read_tpu.ops import rasterize as R
 from read_tpu.scene import camera, io as IO
 

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from read_tpu.ops import rasterize as R
 from read_tpu.pipelines import texture_pipeline as TP
@@ -22,6 +23,7 @@ def _scene(rng, n=1500, h=32, w=32, b=2):
     return xyz, np.stack(ms)
 
 
+@pytest.mark.slow
 def test_seg_head_trains(rng):
     xyz, ms = _scene(rng)
     targets = rng.uniform(size=(2, 32, 32, 3)).astype(np.float32)
@@ -40,6 +42,7 @@ def test_seg_head_trains(rng):
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_mask_and_background_loss(rng):
     xyz, ms = _scene(rng)
     targets = rng.uniform(size=(2, 32, 32, 3)).astype(np.float32)
@@ -60,6 +63,7 @@ def test_mask_and_background_loss(rng):
     assert float(metrics["loss"]) > float(metrics["huber_loss"])
 
 
+@pytest.mark.slow
 def test_reg_loss_contributes(rng):
     xyz, ms = _scene(rng, b=1)
     targets = rng.uniform(size=(1, 32, 32, 3)).astype(np.float32)

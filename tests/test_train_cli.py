@@ -57,6 +57,7 @@ def scene_dir(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_train_cli_end_to_end(scene_dir, tmp_path):
     from read_tpu import train as TR
     rc = TR.main([
@@ -104,6 +105,7 @@ def test_eval_mode(scene_dir, tmp_path):
     assert len(dumped) >= 1 and dumped[0].endswith(".png")
 
 
+@pytest.mark.slow
 def test_train_cli_mesh_sharded(scene_dir, tmp_path):
     """--mesh 2x2: CLI multi-chip training on the virtual CPU mesh
     (VERDICT r1 item 4: sharded training must be reachable from the
@@ -136,6 +138,7 @@ def test_train_cli_mesh_sharded(scene_dir, tmp_path):
     assert flat["texture"].shape[0] == 2000
 
 
+@pytest.mark.slow
 def test_train_cli_pix2pix(scene_dir, tmp_path):
     """--pipeline pix2pix actually dispatches (VERDICT r1 missing 6)."""
     from read_tpu import train as TR

@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from read_tpu.ops import rasterize as R
 from read_tpu.pipelines import texture_pipeline as P
 from read_tpu.scene import camera

@@ -15,6 +15,7 @@ def _pyramid(rng, h=64, w=64, c=8, b=1):
                         jnp.float32) for s in (1, 2, 4, 8)]
 
 
+@pytest.mark.slow
 def test_forward_rectangular(rng):
     # KITTI-style aspect; dims divisible by 32.
     net = UNet()
@@ -82,6 +83,7 @@ def test_param_count_matches_reference():
     assert int(ours) == int(ref_count), (ours, ref_count)
 
 
+@pytest.mark.slow
 def test_bfloat16_compute(rng):
     net = UNet(dtype=jnp.bfloat16)
     pyr = _pyramid(rng, h=32, w=32)

@@ -66,6 +66,7 @@ def test_gated_conv1x1_chw_oracle():
                                rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_unet_pallas_matches_flax():
     rng = np.random.default_rng(0)
     h, w = 32, 64
@@ -83,6 +84,7 @@ def test_unet_pallas_matches_flax():
                                atol=5e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_unet_pallas_seg_head():
     rng = np.random.default_rng(1)
     h, w = 32, 32
