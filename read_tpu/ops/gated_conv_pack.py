@@ -63,9 +63,20 @@ def _epilogue_chw(acc, bias, scale, offset, relu: bool, gated: bool):
     return out * scale + offset
 
 
-def pick_rows(w_img: int, target_lanes: int = 4096) -> int:
-    """Rows per grid step: NT = nr*W lanes close to ``target_lanes``."""
-    nr = max(1, int(round(target_lanes / max(w_img, 1))))
+def pick_rows(w_img: int, cin: int = 32,
+              target_lanes: int = 0) -> int:
+    """Rows per grid step: NT = nr*W lanes sized to the channel count.
+
+    Mosaic requires block lane sizes divisible by 128, so nr is rounded
+    to the smallest multiple that makes ``nr*W % 128 == 0``. The lane
+    target shrinks with Cin so the window + 9-tap scratch + pipelined
+    block buffers stay within VMEM (~50 MB worst case at Cin=256)."""
+    import math
+    w_img = max(w_img, 1)
+    if not target_lanes:
+        target_lanes = 4864 if cin <= 64 else 2432
+    need = 128 // math.gcd(w_img, 128)
+    nr = max(need, int(round(target_lanes / w_img / need)) * need)
     return nr
 
 
@@ -138,7 +149,7 @@ def gated_conv3x3_chw(x: jax.Array, w: jax.Array, b: jax.Array,
     h = hw // w_img
     c2 = w.shape[-1]
     cout = c2 // 2 if gated else c2
-    nr = rows or pick_rows(w_img)
+    nr = rows or pick_rows(w_img, cin)
     hpad = (-h) % nr
     if hpad:
         x = jnp.pad(x, ((0, 0), (0, hpad * w_img)))
@@ -184,6 +195,8 @@ def gated_conv3x3_chw(x: jax.Array, w: jax.Array, b: jax.Array,
             + hw * cout * x.dtype.itemsize,
             transcendentals=2 * hw * cout,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x, x, x, wr, b.astype(jnp.float32)[:, None],
       scale.astype(jnp.float32)[:, None],
@@ -218,7 +231,13 @@ def gated_conv1x1_chw(x: jax.Array, w: jax.Array, b: jax.Array,
         w = w.reshape(cin, -1)
     c2 = w.shape[-1]
     cout = c2 // 2 if gated else c2
-    nt = min(lanes, n)
+    # lane tile sized to the channel count so the pipelined in/out
+    # blocks stay within VMEM (AFF 1x1 inputs reach Cin=480); must be a
+    # multiple of 128 unless it covers the whole array
+    fit = (4 * 1024 * 1024 // (4 * max(cin + c2, 1))) // 128 * 128
+    nt = max(512, min(lanes, fit))
+    if n <= nt:
+        nt = n
     npad = (-n) % nt
     if npad:
         x = jnp.pad(x, ((0, 0), (0, npad)))

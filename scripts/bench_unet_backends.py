@@ -69,24 +69,24 @@ def main():
         print(f"  [control 4096^3 bf16 matmul: {ms:.2f} ms]", flush=True)
 
     variants = {}
-    if "xla_f32" not in skip:
-        n = UNet(conv_impl="xla")
-        f = jax.jit(lambda v, p: n.apply(v, *p, train=False)["im_out"])
-        variants["xla_f32"] = lambda: f(variables, pyr32)
-    if "im2col_f32" not in skip:
-        n = UNet(conv_impl="im2col")
-        f = jax.jit(lambda v, p: n.apply(v, *p, train=False)["im_out"])
-        variants["im2col_f32"] = lambda: f(variables, pyr32)
-    if "im2col_bf16" not in skip:
-        n = UNet(conv_impl="im2col", dtype=jnp.bfloat16)
-        f = jax.jit(lambda v, p: n.apply(v, *p, train=False)["im_out"])
-        variants["im2col_bf16"] = lambda: f(variables, pyr32)
     if "pallas_f32" not in skip:
         variants["pallas_f32"] = lambda: UP.unet_pallas_apply(
             variables, *pyr32)["im_out"]
     if "pallas_bf16" not in skip:
         variants["pallas_bf16"] = lambda: UP.unet_pallas_apply(
             variables, *pyr32, dtype_name="bfloat16")["im_out"]
+    def flax_variant(**kw):
+        n = UNet(**kw)
+        f = jax.jit(lambda v, p: n.apply(v, *p, train=False)["im_out"])
+        return lambda f=f: f(variables, pyr32)
+
+    if "xla_f32" not in skip:
+        variants["xla_f32"] = flax_variant(conv_impl="xla")
+    if "im2col_f32" not in skip:
+        variants["im2col_f32"] = flax_variant(conv_impl="im2col")
+    if "im2col_bf16" not in skip:
+        variants["im2col_bf16"] = flax_variant(conv_impl="im2col",
+                                               dtype=jnp.bfloat16)
 
     ref = None
     for name, fn in variants.items():
