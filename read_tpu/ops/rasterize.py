@@ -150,6 +150,30 @@ def _zbuffer_sort(pix: jax.Array, depth: jax.Array, ids: jax.Array,
     return ibuf, dbuf
 
 
+def _zbuffer_sort2(pix: jax.Array, depth: jax.Array, ids: jax.Array,
+                   n_pixels: int):
+    """:func:`_zbuffer_sort` with a 2-key comparator.
+
+    Non-negative f32 depths bitcast to int32 preserve order, so the
+    (pixel, depth) comparator needs no float compare; the id rides as a
+    stable-sort payload — ids enter in increasing order, so stability
+    IS the smallest-id tie-break. Same semantics as the 3-key sort.
+    """
+    dkey = jax.lax.bitcast_convert_type(depth, jnp.int32)
+    spix, sdk, sid = jax.lax.sort((pix, dkey, ids), num_keys=2,
+                                  is_stable=True)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), spix[1:] != spix[:-1]])
+    win = first & (spix < n_pixels)
+    tgt = jnp.where(win, spix, n_pixels)
+    ibuf = jnp.full((n_pixels,), -1, jnp.int32).at[tgt].set(
+        sid, mode="drop", unique_indices=True)
+    dbuf = jnp.zeros((n_pixels,), jnp.float32).at[tgt].set(
+        jax.lax.bitcast_convert_type(sdk, jnp.float32), mode="drop",
+        unique_indices=True)
+    return ibuf, dbuf
+
+
 def rasterize(xyz: jax.Array, total_m: jax.Array, h: int, w: int,
               point_radius: int = 0, method: str = "sort",
               ndc_jitter: jax.Array = None,
@@ -193,10 +217,11 @@ def rasterize(xyz: jax.Array, total_m: jax.Array, h: int, w: int,
         ndc = ndc.at[:, :2].add(ndc_jitter)
     if point_radius == 0 and not varying:
         pix, depth = _pixel_ids(ndc, valid, h, w)
-        if method == "sort":
+        if method in ("sort", "sort2"):
             n = pix.shape[0]
             ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
-            index, dbuf = _zbuffer_sort(pix, depth, ids, h * w)
+            zb = _zbuffer_sort2 if method == "sort2" else _zbuffer_sort
+            index, dbuf = zb(pix, depth, ids, h * w)
         else:
             index, dbuf = _zbuffer(pix, depth, h * w)
         return index.reshape(h, w), dbuf.reshape(h, w)
@@ -236,8 +261,9 @@ def rasterize(xyz: jax.Array, total_m: jax.Array, h: int, w: int,
     pix = jnp.concatenate(pix_all)
     dep = jnp.concatenate(dep_all)
     ids_rep = jnp.tile(ids, len(offsets))
-    if method == "sort":
-        index, dout = _zbuffer_sort(pix, dep, ids_rep, h * w)
+    if method in ("sort", "sort2"):
+        zb = _zbuffer_sort2 if method == "sort2" else _zbuffer_sort
+        index, dout = zb(pix, dep, ids_rep, h * w)
         return index.reshape(h, w), dout.reshape(h, w)
     dbuf = jnp.full((h * w + 1,), _FAR, jnp.float32)
     dbuf = dbuf.at[pix].min(dep, mode="drop")
