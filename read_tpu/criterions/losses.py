@@ -120,9 +120,15 @@ def ssim(pred: jax.Array, target: jax.Array, max_val: float = 1.0,
     c2 = (0.03 * max_val) ** 2
     mu_p = blur(pred)
     mu_t = blur(target)
-    mu_pp = blur(pred * pred) - mu_p * mu_p
-    mu_tt = blur(target * target) - mu_t * mu_t
-    mu_pt = blur(pred * target) - mu_p * mu_t
+    # E[x^2]-E[x]^2 cancels catastrophically in f32 on near-uniform
+    # windows (black crop borders), yielding tiny negative variances and
+    # per-window ratios > 1. Clamp variances to >=0 and the covariance to
+    # the Cauchy-Schwarz bound so every window's score lies in [-1, 1].
+    mu_pp = jnp.maximum(blur(pred * pred) - mu_p * mu_p, 0.0)
+    mu_tt = jnp.maximum(blur(target * target) - mu_t * mu_t, 0.0)
+    cs_bound = jnp.sqrt(mu_pp * mu_tt)
+    mu_pt = jnp.clip(blur(pred * target) - mu_p * mu_t,
+                     -cs_bound, cs_bound)
     num = (2 * mu_p * mu_t + c1) * (2 * mu_pt + c2)
     den = (mu_p ** 2 + mu_t ** 2 + c1) * (mu_pp + mu_tt + c2)
     v = num / den

@@ -56,6 +56,25 @@ def test_ssim_decreases_with_noise(rng):
     assert float(L.ssim(x, y)) < 0.95
 
 
+def test_ssim_bounded_on_near_uniform_images(rng):
+    """f32 cancellation on constant windows used to push per-window
+    scores past 1 (val logs showed batch SSIM 1.4); the variance /
+    Cauchy-Schwarz clamps must keep every window's score in [-1, 1]."""
+    # mostly-black frames with a small bright patch: lots of zero-variance
+    # windows, the historical blowup case (black crop borders).
+    x = np.zeros((2, 48, 48, 3), np.float32)
+    x[:, 20:28, 20:28] = rng.uniform(size=(2, 8, 8, 3)).astype(np.float32)
+    y = x + 1e-3 * rng.normal(size=x.shape).astype(np.float32)
+    per = np.asarray(L.ssim(jnp.asarray(x), jnp.asarray(y),
+                            per_item=True))
+    assert per.shape == (2,)
+    assert np.all(per <= 1.0 + 1e-6) and np.all(per >= -1.0 - 1e-6)
+    # large-magnitude inputs (unclipped net outputs) stay bounded too
+    big = jnp.asarray(rng.normal(size=(1, 32, 32, 3)) * 50, jnp.float32)
+    v = float(L.ssim(big, big * 0.5 + 3.0))
+    assert -1.0 - 1e-6 <= v <= 1.0 + 1e-6
+
+
 def test_vgg_loss_zero_on_identical(rng):
     params = V.random_vgg_params()
     x = jnp.asarray(rng.uniform(size=(1, 32, 32, 3)), jnp.float32)
