@@ -174,6 +174,46 @@ def _zbuffer_sort2(pix: jax.Array, depth: jax.Array, ids: jax.Array,
     return ibuf, dbuf
 
 
+def _zbuffer_sort1q(pix: jax.Array, depth: jax.Array, ids: jax.Array,
+                    n_pixels: int):
+    """Single-key quantized sort z-buffer (bench variant).
+
+    Packs (pixel, depth) into ONE int32 key: the depth (always in
+    [0, 1]; _FAR marks invalid) is quantized to the bits left over
+    after the pixel id — ``key = pix << db | round(depth * (2^db-1))``
+    — and a stable 1-key sort with the id as payload gives the same
+    winner-per-pixel-segment structure as :func:`_zbuffer_sort` with a
+    scalar int comparator instead of a 2/3-key lexicographic one.
+
+    Semantics difference: depths that collide within one quantization
+    bin (2^-db of the [0,1] range) tie-break by smallest id instead of
+    true depth order. The returned depth is EXACT (re-gathered from the
+    winner's id), only the choice among near-equal-depth points can
+    differ from :func:`_zbuffer`. Requires ``n_pixels << db < 2^31``.
+    """
+    db = 0
+    while (n_pixels + 2) << (db + 1) < 2 ** 31:
+        db += 1
+    if db < 8:
+        raise ValueError(f"sort1q: only {db} depth bits for "
+                         f"{n_pixels} pixels; use method='sort'")
+    qmax = (1 << db) - 1
+    q = jnp.clip(jnp.round(depth * qmax), 0, qmax).astype(jnp.int32)
+    # invalid points carry pix == n_pixels which already sorts last
+    key = (pix << db) | q
+    skey, sid = jax.lax.sort((key, ids), num_keys=1, is_stable=True)
+    spix = skey >> db
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), spix[1:] != spix[:-1]])
+    win = first & (spix < n_pixels)
+    tgt = jnp.where(win, spix, n_pixels)
+    ibuf = jnp.full((n_pixels,), -1, jnp.int32).at[tgt].set(
+        sid, mode="drop", unique_indices=True)
+    # exact winner depth: re-gather through the id map
+    dbuf = jnp.where(ibuf >= 0, depth[jnp.maximum(ibuf, 0)], 0.0)
+    return ibuf, dbuf
+
+
 def rasterize(xyz: jax.Array, total_m: jax.Array, h: int, w: int,
               point_radius: int = 0, method: str = "sort",
               ndc_jitter: jax.Array = None,
@@ -217,10 +257,11 @@ def rasterize(xyz: jax.Array, total_m: jax.Array, h: int, w: int,
         ndc = ndc.at[:, :2].add(ndc_jitter)
     if point_radius == 0 and not varying:
         pix, depth = _pixel_ids(ndc, valid, h, w)
-        if method in ("sort", "sort2"):
+        if method in ("sort", "sort2", "sort1q"):
             n = pix.shape[0]
             ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
-            zb = _zbuffer_sort2 if method == "sort2" else _zbuffer_sort
+            zb = {"sort": _zbuffer_sort, "sort2": _zbuffer_sort2,
+                  "sort1q": _zbuffer_sort1q}[method]
             index, dbuf = zb(pix, depth, ids, h * w)
         else:
             index, dbuf = _zbuffer(pix, depth, h * w)
@@ -261,8 +302,9 @@ def rasterize(xyz: jax.Array, total_m: jax.Array, h: int, w: int,
     pix = jnp.concatenate(pix_all)
     dep = jnp.concatenate(dep_all)
     ids_rep = jnp.tile(ids, len(offsets))
-    if method in ("sort", "sort2"):
-        zb = _zbuffer_sort2 if method == "sort2" else _zbuffer_sort
+    if method in ("sort", "sort2", "sort1q"):
+        zb = {"sort": _zbuffer_sort, "sort2": _zbuffer_sort2,
+              "sort1q": _zbuffer_sort1q}[method]
         index, dout = zb(pix, dep, ids_rep, h * w)
         return index.reshape(h, w), dout.reshape(h, w)
     dbuf = jnp.full((h * w + 1,), _FAR, jnp.float32)

@@ -244,3 +244,25 @@ def test_batch_per_point_sizes(rng):
                                  point_radius=1, point_sizes=sizes)
     assert idx.shape == (2, h, w)
     np.testing.assert_array_equal(np.asarray(idx[0]), np.asarray(idx[1]))
+
+
+def test_sort1q_matches_sort_up_to_depth_quantization(rng):
+    w, h = 64, 48
+    xyz, m = _random_scene(rng, 800, w, h)
+    i_so, d_so = jax.jit(R.rasterize, static_argnums=(2, 3, 4, 5))(
+        xyz, m, h, w, 0, "sort")
+    i_q, d_q = jax.jit(R.rasterize, static_argnums=(2, 3, 4, 5))(
+        xyz, m, h, w, 0, "sort1q")
+    i_so, d_so = np.asarray(i_so), np.asarray(d_so)
+    i_q, d_q = np.asarray(i_q), np.asarray(d_q)
+    # same pixels covered
+    np.testing.assert_array_equal(i_q < 0, i_so < 0)
+    # winner depth within one quantization bin of the true minimum;
+    # with >= 12 depth bits that is 2^-12 of the [0, 1] depth range
+    assert np.all(np.abs(d_q - d_so) <= 1.0 / (1 << 12) + 1e-7)
+    # where depths are NOT within a bin of each other the winner index
+    # must agree exactly (quantization only reorders near-ties)
+    exact = np.abs(d_q - d_so) < 1e-7
+    assert np.mean(exact) > 0.95
+    np.testing.assert_array_equal(i_q[exact & (i_q >= 0)],
+                                  i_so[exact & (i_q >= 0)])
