@@ -156,6 +156,15 @@ def unet_pallas_apply(variables: Dict, x, x_2, x_4, x_8,
     returns ``{'im_out': [1, h, w, 3]}`` (+ ``seg_out`` when the
     checkpoint has a seg head) — same contract as ``UNet.apply`` with
     ``train=False``."""
+    if dtype_name == "bfloat16" and not interpret:
+        # Round-3 finding: the packed-lane kernels compile in bf16 but
+        # FAULT the TPU worker at run time (Mosaic bf16 (16,128) tiling
+        # vs the kernel's odd lane-offset tap slices; crash recorded in
+        # RESULTS_r03.md). Recovery takes ~50 min, so refuse instead of
+        # crashing: the supported bf16 route is conv_impl='im2col'.
+        raise ValueError(
+            "conv_impl='pallas' supports float32 only on TPU; "
+            "use conv_impl='im2col' for bfloat16 inference")
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     params, stats = variables["params"], variables["batch_stats"]
     ctx = _Ctx(params, stats, dtype, interpret)

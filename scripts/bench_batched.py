@@ -9,12 +9,19 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
 
+import argparse
 import time
 
 import numpy as np
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--conv-impl", dest="conv_impl", default="xla",
+                    choices=["xla", "im2col"])
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    args = ap.parse_args()
     import jax
     import jax.numpy as jnp
     from read_tpu.models import texture as T
@@ -29,7 +36,8 @@ def main():
     K = np.array([[720.0, 0, w / 2], [0, 720.0, h / 2], [0, 0, 1]])
     P = camera.gl_projection(K, (w, h), znear=0.1, zfar=1000.0)
 
-    net = UNet()
+    dt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    net = UNet(conv_impl=args.conv_impl, dtype=dt)
     key = jax.random.PRNGKey(0)
     table = T.init_point_texture(key, n_points, 8, "rand")
     m1 = camera.total_matrix(P, np.eye(4)).astype(np.float32)[None]

@@ -22,7 +22,9 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--skip", default="")
+    # pallas_bf16 faults the TPU worker (see models/unet_pallas.py);
+    # excluded unless explicitly re-enabled with --skip ""
+    ap.add_argument("--skip", default="pallas_bf16")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--h", type=int, default=368)
     ap.add_argument("--w", type=int, default=1216)
@@ -68,25 +70,28 @@ def main():
         ms = time_fn(lambda: ctrl(ctrl_x), lambda o: o[0, 0], iters=5)
         print(f"  [control 4096^3 bf16 matmul: {ms:.2f} ms]", flush=True)
 
+    def flax_variant(**kw):
+        n = UNet(**kw)
+        f = jax.jit(lambda v, p: n.apply(v, *p, train=False)["im_out"])
+        return lambda f=f: f(variables, pyr32)
+
+    # Order = risk schedule: the headroom candidate (im2col bf16) runs
+    # first while the window is known-healthy; the full-res XLA-conv
+    # compile (crashed the worker twice in round 3) runs LAST.
     variants = {}
+    if "im2col_bf16" not in skip:
+        variants["im2col_bf16"] = flax_variant(conv_impl="im2col",
+                                               dtype=jnp.bfloat16)
+    if "im2col_f32" not in skip:
+        variants["im2col_f32"] = flax_variant(conv_impl="im2col")
     if "pallas_f32" not in skip:
         variants["pallas_f32"] = lambda: UP.unet_pallas_apply(
             variables, *pyr32)["im_out"]
     if "pallas_bf16" not in skip:
         variants["pallas_bf16"] = lambda: UP.unet_pallas_apply(
             variables, *pyr32, dtype_name="bfloat16")["im_out"]
-    def flax_variant(**kw):
-        n = UNet(**kw)
-        f = jax.jit(lambda v, p: n.apply(v, *p, train=False)["im_out"])
-        return lambda f=f: f(variables, pyr32)
-
     if "xla_f32" not in skip:
         variants["xla_f32"] = flax_variant(conv_impl="xla")
-    if "im2col_f32" not in skip:
-        variants["im2col_f32"] = flax_variant(conv_impl="im2col")
-    if "im2col_bf16" not in skip:
-        variants["im2col_bf16"] = flax_variant(conv_impl="im2col",
-                                               dtype=jnp.bfloat16)
 
     ref = None
     for name, fn in variants.items():
