@@ -51,6 +51,39 @@ def _elu(x):
     return jnp.where(x > 0, x, jnp.exp(jnp.minimum(x, 0.0)) - 1.0)
 
 
+def _S2D_ENABLED() -> bool:
+    """Space-to-depth strided convs: opt-in (READ_TPU_PALLAS_S2D=1).
+
+    The route is oracle-exact in interpret mode (tests) and saves the
+    ~9.7 ms/frame im2col+transpose glue, but its first TPU run faulted
+    the worker in a window that was already degrading — kept off the
+    default path until scripts/probe_s2d.py attributes that fault."""
+    import os
+    return os.environ.get("READ_TPU_PALLAS_S2D", "0") == "1"
+
+
+def _s2d_weights(w: jax.Array) -> jax.Array:
+    """Scatter ``[k, k, C, C2]`` stride-2/pad-1 conv weights onto the
+    space-to-depth grid as a ``[3, 3, 4C, C2]`` stride-1 kernel.
+
+    With cells covering input rows ``(2c, 2c+1)``, output ``oh`` reads
+    input row ``2oh - 1 + dy`` = cell ``oh + floor((dy-1)/2)``, parity
+    ``(dy-1) % 2`` — i.e. a 3x3 window over cells for both k3s2 and
+    k4s2 (pad 1), with each original tap landing in exactly one
+    (cell offset, parity-channel-block) slot. Zero-padding of cells
+    reproduces the original zero-padding exactly.
+    """
+    k, _, c, c2 = w.shape
+    out = jnp.zeros((3, 3, 4 * c, c2), w.dtype)
+    for dy in range(k):
+        py, cy = (dy - 1) % 2, (dy - 1) // 2 + 1
+        for dx in range(k):
+            px, cx = (dx - 1) % 2, (dx - 1) // 2 + 1
+            blk = (py * 2 + px) * c
+            out = out.at[cy, cx, blk:blk + c, :].set(w[dy, dx])
+    return out
+
+
 class _Ctx:
     """Carries variables + options through the forward."""
 
@@ -81,7 +114,28 @@ class _Ctx:
                 x.reshape(cin, h * wd), w, b, scale, offset,
                 relu=relu, gated=True, interpret=self.interpret)
             return out.reshape(-1, h, wd)
-        # strided transition conv: im2col matmul in NHWC
+        if (stride == 2 and k in (3, 4) and h % 2 == 0 and wd % 2 == 0
+                and _S2D_ENABLED()):
+            # space-to-depth: stride-2 conv == 3x3/stride-1 conv on the
+            # [4C, H/2, W/2] parity planes (glue diagnostic: the im2col
+            # route + its NHWC transposes cost ~9.7 ms/frame of 50).
+            c4 = 4 * cin
+            nr = GP.pick_rows(wd // 2, c4)
+            tap9 = 9 * c4 * nr * (wd // 2) * 4
+            # VMEM scoped-limit guard: at tap9 = 44.8 MB (4C = 512 at
+            # the minimum 2432-lane tile) the whole kernel needs ~107 MB
+            # and the compile OOMs at the 104 MB scoped limit, so the
+            # three deep transitions (feat3/feat6/feat7) keep im2col.
+            if tap9 <= 40 * 1024 * 1024:
+                xs = x.reshape(cin, h // 2, 2, wd // 2, 2)
+                xs = jnp.transpose(xs, (2, 4, 0, 1, 3)).reshape(
+                    c4, (h // 2) * (wd // 2))
+                out = GP.gated_conv3x3_chw(
+                    xs, _s2d_weights(w), b, scale, offset,
+                    w_img=wd // 2, relu=relu, gated=True,
+                    interpret=self.interpret)
+                return out.reshape(-1, h // 2, wd // 2)
+        # fallback: im2col matmul in NHWC
         pad = (k - 1) // 2
         xn = jnp.transpose(x, (1, 2, 0))[None]  # [1, H, W, C]
         fm = _im2col_conv(xn, w.astype(self.dtype), b, stride, 1, pad,

@@ -74,7 +74,11 @@ def pick_rows(w_img: int, cin: int = 32,
     import math
     w_img = max(w_img, 1)
     if not target_lanes:
-        target_lanes = 4864 if cin <= 64 else 2432
+        # chained-kernel microbench (scripts/bench_pack_kernels.py,
+        # RESULTS_r03.md): C32 @9728 lanes 37.5 TFLOP/s vs 35.4 @4864;
+        # C64 peaks at 2432-4864; C128/C256 fit (VMEM) only at 2432.
+        target_lanes = (9728 if cin <= 32 else
+                        4864 if cin <= 64 else 2432)
     need = 128 // math.gcd(w_img, 128)
     nr = max(need, int(round(target_lanes / w_img / need)) * need)
     return nr

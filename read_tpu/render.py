@@ -207,6 +207,16 @@ class NeuralRenderer:
             K, (self.vw, self.vh), 0.1, 1000.0)
         return camera.total_matrix(proj, view_matrix).astype(np.float32)
 
+    def infer_device(self, view_matrix: np.ndarray,
+                     K: Optional[np.ndarray] = None):
+        """Dispatch one neural frame and return the ON-DEVICE ``[1,h,w,3]``
+        array without a host transfer. Lets trajectory renders pipeline
+        dispatches and fetch asynchronously (on the tunneled dev chip a
+        per-frame host download costs seconds and says nothing about
+        device rate; real deployments stream frames out-of-band)."""
+        m = self.total_matrix(view_matrix, K)[None]
+        return self._infer_fn(self.state, self.xyz, self.jnp.asarray(m))
+
     def infer(self, view_matrix: np.ndarray,
               K: Optional[np.ndarray] = None) -> np.ndarray:
         """Render one neural frame; returns ``[h, w, 3]`` float in [0,1]."""

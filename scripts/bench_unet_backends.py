@@ -22,9 +22,15 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    # pallas_bf16 faults the TPU worker (see models/unet_pallas.py);
-    # excluded unless explicitly re-enabled with --skip ""
-    ap.add_argument("--skip", default="pallas_bf16")
+    # Both bf16 routes CRASH the TPU worker on this toolchain (round 3,
+    # two independent windows): pallas_bf16 faults at run time (Mosaic
+    # bf16 tiling), im2col_bf16 kills the worker during the full-res
+    # compile (same signature as the round-2 bf16 XLA-conv crash — the
+    # conv-free patch-matmul formulation does NOT dodge it). Re-enable
+    # explicitly with --skip "" only in a window you can afford to lose
+    # (~50 min worker recovery). Note this chip runs f32 matmuls at
+    # bf16 rate (scripts/bench_roofline.py), so f32 loses no MXU rate.
+    ap.add_argument("--skip", default="pallas_bf16,im2col_bf16")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--h", type=int, default=368)
     ap.add_argument("--w", type=int, default=1216)

@@ -57,12 +57,24 @@ def main():
     scene_dir = os.path.dirname(os.path.abspath(args.scene))
 
     # ---- config 1: trajectory render + quality on val frames ----------
-    times, psnrs, ssims = [], [], []
+    # Device rate: dispatch the whole trajectory back-to-back and sync
+    # once — per-frame host downloads through the dev tunnel cost
+    # seconds each and measure the tunnel, not the chip (production
+    # serving streams frames out-of-band).
+    out_dev = r.infer_device(views[0])  # compile + warm
+    np.asarray(out_dev[0, 0, 0])
+    t0 = time.perf_counter()
+    for pose in views:
+        out_dev = r.infer_device(pose)
+    np.asarray(out_dev[0, 0, 0])
+    dt_device = (time.perf_counter() - t0) / len(views)
+
+    psnrs, ssims, t_host = [], [], []
     val_ids = list(range(0, len(views), args.val_step))
     for i, pose in enumerate(views):
         t0 = time.perf_counter()
         img = r.infer(pose)
-        times.append(time.perf_counter() - t0)
+        t_host.append(time.perf_counter() - t0)
         if i in val_ids:
             tgt_path = os.path.join(scene_dir, "images", f"{i:06}.png")
             if os.path.exists(tgt_path):
@@ -75,10 +87,11 @@ def main():
                 ssims.append(ss)
             imageio.imwrite(os.path.join(args.out, f"cfg1_{i:06}.png"),
                             (np.clip(img, 0, 1) * 255).astype(np.uint8))
-    steady = times[1:]
     results["config1_trajectory"] = {
         "frames": len(views),
-        "fps": round(1.0 / float(np.mean(steady)), 2),
+        "fps_device": round(1.0 / dt_device, 2),
+        "fps_with_host_download": round(
+            1.0 / float(np.mean(t_host[1:])), 2),
         "val_psnr_mean": round(float(np.mean(psnrs)), 2) if psnrs else None,
         "val_ssim_mean": round(float(np.mean(ssims)), 3) if ssims else None,
         "n_val": len(psnrs),
@@ -98,18 +111,19 @@ def main():
     r.xyz = jnp.asarray(sx)
     r.state = r.state.replace(texture=jnp.asarray(stex))
     r.texture = r.state.texture
+    stitched_img = r.infer(views[0])  # compile (new N) + quality image
+    o = r.infer_device(views[0])
+    np.asarray(o[0, 0, 0])
     t0 = time.perf_counter()
-    stitched_img = r.infer(views[0])
-    t_stitch = time.perf_counter() - t0
-    # one more call for steady-state fps (first call recompiled: new N)
-    t0 = time.perf_counter()
-    stitched_img = r.infer(views[0])
-    t_stitch = time.perf_counter() - t0
+    for _ in range(8):
+        o = r.infer_device(views[0])
+    np.asarray(o[0, 0, 0])
+    t_stitch = (time.perf_counter() - t0) / 8
     exact = float(L.psnr(jnp.asarray(stitched_img),
                          jnp.asarray(ref_img)))
     results["config4_stitching"] = {
         "exactness_psnr_vs_unsplit": round(exact, 2),
-        "fps": round(1.0 / t_stitch, 2),
+        "fps_device": round(1.0 / t_stitch, 2),
     }
     imageio.imwrite(os.path.join(args.out, "cfg4_stitched.png"),
                     (np.clip(stitched_img, 0, 1) * 255).astype(np.uint8))
@@ -127,9 +141,13 @@ def main():
     r.state = r.state.replace(texture=jnp.asarray(etex))
     r.texture = r.state.texture
     edited = r.infer(views[0])
+    o = r.infer_device(views[0])
+    np.asarray(o[0, 0, 0])
     t0 = time.perf_counter()
-    edited = r.infer(views[0])
-    t_edit = time.perf_counter() - t0
+    for _ in range(8):
+        o = r.infer_device(views[0])
+    np.asarray(o[0, 0, 0])
+    t_edit = (time.perf_counter() - t0) / 8
     imageio.imwrite(os.path.join(args.out, "cfg5_edited.png"),
                     (np.clip(edited, 0, 1) * 255).astype(np.uint8))
 
@@ -142,7 +160,7 @@ def main():
     imageio.imwrite(os.path.join(args.out, "cfg5_panorama.png"),
                     (np.clip(pano_img, 0, 1) * 255).astype(np.uint8))
     results["config5_edit_panorama"] = {
-        "edited_fps": round(1.0 / t_edit, 2),
+        "edited_fps_device": round(1.0 / t_edit, 2),
         "panorama_views": len(pano_views),
         "panorama_px": list(pano_img.shape[:2]),
     }
