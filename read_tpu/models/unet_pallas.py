@@ -51,15 +51,22 @@ def _elu(x):
     return jnp.where(x > 0, x, jnp.exp(jnp.minimum(x, 0.0)) - 1.0)
 
 
-def _S2D_ENABLED() -> bool:
-    """Space-to-depth strided convs: opt-in (READ_TPU_PALLAS_S2D=1).
+def _S2D_ENABLED(name: str = "") -> bool:
+    """Space-to-depth strided convs: opt-in via READ_TPU_PALLAS_S2D.
 
-    The route is oracle-exact in interpret mode (tests) and saves the
-    ~9.7 ms/frame im2col+transpose glue, but its first TPU run faulted
-    the worker in a window that was already degrading — kept off the
-    default path until scripts/probe_s2d.py attributes that fault."""
+    ``1`` enables every eligible transition; a comma list of layer
+    names (``feat1,feat2``) enables only those — the bisection knob.
+
+    Status (round 3, scripts/probe_s2d.py + RESULTS_r03.md): each
+    eligible conv shape is oracle-exact AND runs clean on the real TPU
+    in isolation, but the FULL UNet graph with all three s2d convs
+    faulted the worker 3/3 times — a multi-kernel interaction still
+    unattributed. Off by default; worth ~8 ms/frame when cleared."""
     import os
-    return os.environ.get("READ_TPU_PALLAS_S2D", "0") == "1"
+    v = os.environ.get("READ_TPU_PALLAS_S2D", "0")
+    if v == "1":
+        return True
+    return bool(name) and name.split("/")[-1] in v.split(",")
 
 
 def _s2d_weights(w: jax.Array) -> jax.Array:
@@ -115,7 +122,7 @@ class _Ctx:
                 relu=relu, gated=True, interpret=self.interpret)
             return out.reshape(-1, h, wd)
         if (stride == 2 and k in (3, 4) and h % 2 == 0 and wd % 2 == 0
-                and _S2D_ENABLED()):
+                and _S2D_ENABLED(name)):
             # space-to-depth: stride-2 conv == 3x3/stride-1 conv on the
             # [4C, H/2, W/2] parity planes (glue diagnostic: the im2col
             # route + its NHWC transposes cost ~9.7 ms/frame of 50).

@@ -97,3 +97,22 @@ def test_unet_pallas_seg_head():
     np.testing.assert_allclose(np.asarray(out["seg_out"]),
                                np.asarray(ref["seg_out"]),
                                atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_unet_pallas_s2d_matches_flax(monkeypatch):
+    # space-to-depth strided transitions (opt-in) vs the flax oracle
+    monkeypatch.setenv("READ_TPU_PALLAS_S2D", "1")
+    rng = np.random.default_rng(2)
+    h, w = 32, 64
+    pyr = [jnp.asarray(rng.normal(size=(1, h // f, w // f, 8))
+                       .astype(np.float32)) for f in (1, 2, 4, 8)]
+    net = UNet()
+    variables = net.init(jax.random.PRNGKey(0), *pyr, train=False)
+    ref = net.apply(variables, *pyr, train=False)
+    UP.unet_pallas_apply.clear_cache()  # drop non-s2d trace
+    out = UP.unet_pallas_apply(variables, *pyr, interpret=True)
+    UP.unet_pallas_apply.clear_cache()
+    np.testing.assert_allclose(np.asarray(out["im_out"]),
+                               np.asarray(ref["im_out"]),
+                               atol=5e-4, rtol=1e-3)
