@@ -274,6 +274,11 @@ class UNet(nn.Module):
     num_classes: Optional[int] = None
     dtype: Any = jnp.float32
     conv_impl: str = "xla"
+    # rematerialize encoder/decoder blocks in the backward pass: trades
+    # ~2x block recompute for dropping their activations from HBM —
+    # needed for the 10M-point fit at native 1216x368, whose plain
+    # backward OOMs (RESULTS_r03.md config 3)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, x_2, x_4, x_8, train: bool = False):
@@ -281,6 +286,9 @@ class UNet(nn.Module):
         dt = self.dtype
         ci = self.conv_impl
         cin = self.num_input_channels
+        EB, DB = ((nn.remat(EBlock, static_argnums=(2,)),
+                   nn.remat(DBlock, static_argnums=(2,)))
+                  if self.remat else (EBlock, DBlock))
 
         z2 = SCM(bc * 2, in_channels=cin, dtype=dt, conv_impl=ci, name="SCM2")(x_2, train)
         z4 = SCM(bc * 4, in_channels=cin, dtype=dt, conv_impl=ci, name="SCM1")(x_4, train)
@@ -289,22 +297,22 @@ class UNet(nn.Module):
         # Encoder (feat_extract[0..2,6] + EBlocks, unet.py:216-233)
         x_ = BasicConv(bc, 3, 1, relu=True, dtype=dt, conv_impl=ci,
                        name="feat0")(x, train)
-        res1 = EBlock(bc, self.num_res, dtype=dt, conv_impl=ci, name="Encoder0")(x_, train)
+        res1 = EB(bc, self.num_res, dtype=dt, conv_impl=ci, name="Encoder0")(x_, train)
 
         z = BasicConv(bc * 2, 3, 2, relu=True, dtype=dt, conv_impl=ci,
                       name="feat1")(res1, train)
         z = FAM(bc * 2, dtype=dt, conv_impl=ci, name="FAM2")(z, z2, train)
-        res2 = EBlock(bc * 2, self.num_res, dtype=dt, conv_impl=ci, name="Encoder1")(z, train)
+        res2 = EB(bc * 2, self.num_res, dtype=dt, conv_impl=ci, name="Encoder1")(z, train)
 
         z = BasicConv(bc * 4, 3, 2, relu=True, dtype=dt, conv_impl=ci,
                       name="feat2")(res2, train)
         z = FAM(bc * 4, dtype=dt, conv_impl=ci, name="FAM1")(z, z4, train)
-        res3 = EBlock(bc * 4, self.num_res, dtype=dt, conv_impl=ci, name="Encoder2")(z, train)
+        res3 = EB(bc * 4, self.num_res, dtype=dt, conv_impl=ci, name="Encoder2")(z, train)
 
         z = BasicConv(bc * 8, 3, 2, relu=True, dtype=dt, conv_impl=ci,
                       name="feat6")(res3, train)
         z = FAM(bc * 8, dtype=dt, conv_impl=ci, name="FAM0")(z, z8, train)
-        z = EBlock(bc * 8, self.num_res, dtype=dt, conv_impl=ci, name="Encoder3")(z, train)
+        z = EB(bc * 8, self.num_res, dtype=dt, conv_impl=ci, name="Encoder3")(z, train)
 
         # Cross-scale AFF fusion (unet.py:239-254); the reference's
         # F.interpolate defaults are nearest for these resamples.
@@ -323,24 +331,24 @@ class UNet(nn.Module):
         res3 = AFF(bc * 4, dtype=dt, conv_impl=ci, name="AFF2")(z13, z23, res3, z43, train)
 
         # Decoder (unet.py:255-280): stride-2 k4 conv + x4 bilinear = x2 up.
-        z = DBlock(bc * 8, self.num_res, dtype=dt, conv_impl=ci, name="Decoder0")(z, train)
+        z = DB(bc * 8, self.num_res, dtype=dt, conv_impl=ci, name="Decoder0")(z, train)
         z = BasicConv(bc * 4, 4, 2, relu=True, dtype=dt, conv_impl=ci, name="feat7")(z, train)
         z = _bilinear_up4(z)
         z = jnp.concatenate([z, res3], axis=-1)
         z = BasicConv(bc * 4, 1, 1, relu=True, dtype=dt, conv_impl=ci, name="Convs0")(z, train)
-        z = DBlock(bc * 4, self.num_res, dtype=dt, conv_impl=ci, name="Decoder1")(z, train)
+        z = DB(bc * 4, self.num_res, dtype=dt, conv_impl=ci, name="Decoder1")(z, train)
 
         z = BasicConv(bc * 2, 4, 2, relu=True, dtype=dt, conv_impl=ci, name="feat3")(z, train)
         z = _bilinear_up4(z)
         z = jnp.concatenate([z, res2], axis=-1)
         z = BasicConv(bc * 2, 1, 1, relu=True, dtype=dt, conv_impl=ci, name="Convs1")(z, train)
-        z = DBlock(bc * 2, self.num_res, dtype=dt, conv_impl=ci, name="Decoder2")(z, train)
+        z = DB(bc * 2, self.num_res, dtype=dt, conv_impl=ci, name="Decoder2")(z, train)
 
         z = BasicConv(bc, 4, 2, relu=True, dtype=dt, conv_impl=ci, name="feat4")(z, train)
         z = _bilinear_up4(z)
         z = jnp.concatenate([z, res1], axis=-1)
         z = BasicConv(bc, 1, 1, relu=True, dtype=dt, conv_impl=ci, name="Convs2")(z, train)
-        feats = DBlock(bc, self.num_res, dtype=dt, conv_impl=ci, name="Decoder3")(z, train)
+        feats = DB(bc, self.num_res, dtype=dt, conv_impl=ci, name="Decoder3")(z, train)
         im = BasicConv(self.num_output_channels, 3, 1, relu=False,
                        dtype=dt, conv_impl=ci, name="feat5")(feats, train)
 

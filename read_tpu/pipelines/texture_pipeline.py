@@ -84,6 +84,9 @@ class PipelineConfig:
     # models/unet.py:_im2col_conv). Threaded through the CLI, the
     # checkpoint config, and NeuralRenderer.
     conv_impl: str = "xla"
+    # remat UNet encoder/decoder blocks in the train step (HBM for
+    # recompute; the 10M-at-native-res fit needs it)
+    remat: bool = False
 
     @property
     def net_in_channels(self) -> int:
@@ -174,6 +177,7 @@ def config_from_dict(d: dict, crop_size=None,
         dtype=jnp.bfloat16 if d.get("dtype") == "bfloat16"
         else jnp.float32,
         conv_impl=d.get("conv_impl", "xla") or "xla",
+        remat=bool(d.get("remat", False)),
     )
 
 
@@ -233,7 +237,7 @@ def create_state(key: jax.Array, cfg: PipelineConfig, n_points: int,
         impl = "xla" if cfg.conv_impl == "pallas" else cfg.conv_impl
         net = UNet(num_input_channels=cfg.net_in_channels,
                    num_classes=cfg.num_classes, dtype=cfg.dtype,
-                   conv_impl=impl)
+                   conv_impl=impl, remat=cfg.remat)
     h, w = cfg.crop_size
     k_tex, k_net = jax.random.split(key)
     dummy_pyr = [jnp.zeros((1, h // s, w // s, cfg.net_in_channels),

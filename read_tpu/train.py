@@ -121,6 +121,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--remat", action="store_true", default=None,
+                   help="rematerialize UNet blocks in the backward "
+                   "pass (fits the 10M-point native-res train step)")
     p.add_argument("--conv-impl", dest="conv_impl", type=str,
                    default="xla", choices=["xla", "im2col"],
                    help="UNet conv formulation: 'xla' native lowering or "

@@ -91,3 +91,32 @@ def test_bfloat16_compute(rng):
     out = net.apply(variables, *pyr, train=False)
     assert out["im_out"].dtype == jnp.float32  # cast back at the head
     assert np.isfinite(np.asarray(out["im_out"])).all()
+
+
+@pytest.mark.slow
+def test_remat_unet_same_params_and_grads():
+    # --remat trades recompute for HBM (10M native-res fit); it must
+    # change NOTHING about the math: identical param tree, fwd, grads.
+    rng = np.random.default_rng(3)
+    h, w = 32, 64
+    pyr = [jnp.asarray(rng.normal(size=(1, h // f, w // f, 8))
+                       .astype(np.float32)) for f in (1, 2, 4, 8)]
+    n0, n1 = UNet(), UNet(remat=True)
+    v = n0.init(jax.random.PRNGKey(0), *pyr, train=False)
+    assert (jax.tree_util.tree_structure(v) ==
+            jax.tree_util.tree_structure(
+                n1.init(jax.random.PRNGKey(0), *pyr, train=False)))
+    o0 = n0.apply(v, *pyr, train=False)["im_out"]
+    o1 = n1.apply(v, *pyr, train=False)["im_out"]
+    np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
+
+    def loss(net):
+        def f(vv):
+            out, _ = net.apply(vv, *pyr, train=True,
+                               mutable=["batch_stats"])
+            return jnp.mean(out["im_out"] ** 2)
+        return jax.grad(f)(v)
+    g0, g1 = loss(n0), loss(n1)
+    for a, b in zip(jax.tree_util.tree_leaves(g0["params"]),
+                    jax.tree_util.tree_leaves(g1["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
