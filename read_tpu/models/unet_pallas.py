@@ -69,6 +69,23 @@ def _S2D_ENABLED(name: str = "") -> bool:
     return bool(name) and name.split("/")[-1] in v.split(",")
 
 
+def _CAT11_ENABLED(name: str = "") -> bool:
+    """Concat-free 1x1 convs: opt-in via READ_TPU_PALLAS_CAT11.
+
+    ``1`` enables every 1x1 concat site (AFF/SCM/Convs*); a comma list
+    of layer names (``Convs0,AFF0/BasicConv_0``) enables only those —
+    the bisection knob. Status (scripts/probe_pack_new.py): every cat
+    kernel is bit-exact AND clean on the real TPU in isolation at the
+    full-res shapes, but the full graph with all nine sites faulted
+    the worker — same isolated-clean/full-graph-fault class as the s2d
+    strided route. Off by default until a site subset is validated."""
+    import os
+    v = os.environ.get("READ_TPU_PALLAS_CAT11", "0")
+    if v == "1":
+        return True
+    return bool(name) and name in v.split(",")
+
+
 def _s2d_weights(w: jax.Array) -> jax.Array:
     """Scatter ``[k, k, C, C2]`` stride-2/pad-1 conv weights onto the
     space-to-depth grid as a ``[3, 3, 4C, C2]`` stride-1 kernel.
@@ -101,8 +118,13 @@ class _Ctx:
         self.interpret = interpret
 
     def conv(self, name: str, x: jax.Array, relu: bool,
-             stride: int = 1) -> jax.Array:
-        """One BasicConv on channel-major ``x [C, H, W]``."""
+             stride: int = 1,
+             res: Optional[jax.Array] = None) -> jax.Array:
+        """One BasicConv on channel-major ``x [C, H, W]``.
+
+        ``res``: optional ``[Cout, H, W]`` skip tensor added inside the
+        kernel epilogue (fuses the ResBlock/FAM adds — one less HBM
+        round trip per block)."""
         p = _subtree(self.params, name)
         s = _subtree(self.stats, name)
         w = p["conv_fm"]["kernel"]
@@ -110,15 +132,17 @@ class _Ctx:
         scale, offset = _fold_bn(p, s)
         k = w.shape[0]
         cin, h, wd = x.shape
+        res2d = None if res is None else res.reshape(res.shape[0],
+                                                     h * wd)
         if stride == 1 and k == 3:
             out = GP.gated_conv3x3_chw(
-                x.reshape(cin, h * wd), w, b, scale, offset,
+                x.reshape(cin, h * wd), w, b, scale, offset, res2d,
                 w_img=wd, relu=relu, gated=True,
                 interpret=self.interpret)
             return out.reshape(-1, h, wd)
         if stride == 1 and k == 1:
             out = GP.gated_conv1x1_chw(
-                x.reshape(cin, h * wd), w, b, scale, offset,
+                x.reshape(cin, h * wd), w, b, scale, offset, res2d,
                 relu=relu, gated=True, interpret=self.interpret)
             return out.reshape(-1, h, wd)
         if (stride == 2 and k in (3, 4) and h % 2 == 0 and wd % 2 == 0
@@ -153,7 +177,33 @@ class _Ctx:
             f = _elu(f)
         out = f * jax.nn.sigmoid(m)
         out = out * scale + offset
-        return jnp.transpose(out[0], (2, 0, 1)).astype(self.dtype)
+        out = jnp.transpose(out[0], (2, 0, 1)).astype(self.dtype)
+        return out if res is None else out + res
+
+    def conv_cat(self, name: str, xs, relu: bool,
+                 res: Optional[jax.Array] = None) -> jax.Array:
+        """BasicConv over a logical concat of channel-major ``xs``.
+
+        For the UNet's 1x1 concat consumers (AFF/SCM/Convs*) the concat
+        never materializes — ``gated_conv1x1_cat_chw`` accumulates
+        per-input matmuls (AFF0's concat alone is a ~229 MB HBM round
+        trip at 1216x368). Non-1x1 weights fall back to a real concat."""
+        p = _subtree(self.params, name)
+        s = _subtree(self.stats, name)
+        w = p["conv_fm"]["kernel"]
+        if w.shape[0] != 1 or not _CAT11_ENABLED(name):
+            x = jnp.concatenate(list(xs), axis=0)
+            return self.conv(name, x, relu, res=res)
+        b = p["conv_fm"]["bias"]
+        scale, offset = _fold_bn(p, s)
+        _, h, wd = xs[0].shape
+        res2d = None if res is None else res.reshape(res.shape[0],
+                                                     h * wd)
+        out = GP.gated_conv1x1_cat_chw(
+            tuple(x.reshape(x.shape[0], h * wd) for x in xs),
+            w, b, scale, offset, res2d, relu=relu, gated=True,
+            interpret=self.interpret)
+        return out.reshape(-1, h, wd)
 
 
 def _subtree(tree: Dict, path: str) -> Dict:
@@ -165,8 +215,7 @@ def _subtree(tree: Dict, path: str) -> Dict:
 
 def _res_block(ctx: _Ctx, name: str, x):
     y = ctx.conv(f"{name}/BasicConv_0", x, relu=True)
-    y = ctx.conv(f"{name}/BasicConv_1", y, relu=False)
-    return y + x
+    return ctx.conv(f"{name}/BasicConv_1", y, relu=False, res=x)
 
 
 def _eblock(ctx: _Ctx, name: str, x, num_res: int):
@@ -180,17 +229,15 @@ def _scm(ctx: _Ctx, name: str, x):
     y = ctx.conv(f"{name}/BasicConv_1", y, relu=True)
     y = ctx.conv(f"{name}/BasicConv_2", y, relu=True)
     y = ctx.conv(f"{name}/BasicConv_3", y, relu=True)
-    y = jnp.concatenate([x, y], axis=0)
-    return ctx.conv(f"{name}/BasicConv_4", y, relu=False)
+    return ctx.conv_cat(f"{name}/BasicConv_4", (x, y), relu=False)
 
 
 def _fam(ctx: _Ctx, name: str, x1, x2):
-    return x1 + ctx.conv(f"{name}/BasicConv_0", x1 * x2, relu=False)
+    return ctx.conv(f"{name}/BasicConv_0", x1 * x2, relu=False, res=x1)
 
 
 def _aff(ctx: _Ctx, name: str, x1, x2, x3, x4):
-    x = jnp.concatenate([x1, x2, x3, x4], axis=0)
-    x = ctx.conv(f"{name}/BasicConv_0", x, relu=True)
+    x = ctx.conv_cat(f"{name}/BasicConv_0", (x1, x2, x3, x4), relu=True)
     return ctx.conv(f"{name}/BasicConv_1", x, relu=False)
 
 
@@ -271,20 +318,17 @@ def unet_pallas_apply(variables: Dict, x, x_2, x_4, x_8,
     z = _eblock(ctx, "Decoder0", z, num_res)
     z = ctx.conv("feat7", z, relu=True, stride=2)
     z = _bilinear_up4(z)
-    z = jnp.concatenate([z, res3], axis=0)
-    z = ctx.conv("Convs0", z, relu=True)
+    z = ctx.conv_cat("Convs0", (z, res3), relu=True)
     z = _eblock(ctx, "Decoder1", z, num_res)
 
     z = ctx.conv("feat3", z, relu=True, stride=2)
     z = _bilinear_up4(z)
-    z = jnp.concatenate([z, res2], axis=0)
-    z = ctx.conv("Convs1", z, relu=True)
+    z = ctx.conv_cat("Convs1", (z, res2), relu=True)
     z = _eblock(ctx, "Decoder2", z, num_res)
 
     z = ctx.conv("feat4", z, relu=True, stride=2)
     z = _bilinear_up4(z)
-    z = jnp.concatenate([z, res1], axis=0)
-    z = ctx.conv("Convs2", z, relu=True)
+    z = ctx.conv_cat("Convs2", (z, res1), relu=True)
     feats = _eblock(ctx, "Decoder3", z, num_res)
     im = ctx.conv("feat5", feats, relu=False)
 

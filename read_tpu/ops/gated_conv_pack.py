@@ -23,8 +23,10 @@ becomes:
   whole gated epilogue — bias, ELU(f)*sigmoid(m), folded eval-BatchNorm
   affine — runs in-register before the single output write.
 
-No im2col buffer ever touches HBM; each input byte is read ~3x (its
-row-group plus two neighbour halos).
+No im2col buffer ever touches HBM; each input byte is read ~1.25-1.5x
+(its row-group plus two minimal 128-lane-divisible halo row-blocks —
+NOT the whole neighbour blocks), which matters because the full-res
+C=32 convs sit at the HBM roofline, not the MXU one.
 
 Reference math being fused: ``BasicConv``
 (``src/READ/models/unet.py:10-42``): ``norm(act(conv_f(x)) *
@@ -35,13 +37,15 @@ affine. Inference only; training differentiates the XLA/im2col path.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["gated_conv3x3_chw", "gated_conv1x1_chw", "pick_rows"]
+__all__ = ["gated_conv3x3_chw", "gated_conv1x1_chw",
+           "gated_conv1x1_cat_chw", "pick_rows"]
 
 
 def _elu(x):
@@ -84,49 +88,77 @@ def pick_rows(w_img: int, cin: int = 32,
     return nr
 
 
-def _conv3x3_chw_kernel(xprev_ref, xmid_ref, xnext_ref, w_ref, b_ref,
-                        s_ref, o_ref, out_ref, win, tap9, *, nt: int,
-                        w_img: int, cin: int, relu: bool, gated: bool,
-                        out_dtype):
+def _conv3x3_chw_kernel(*refs, nt: int, hb: int, w_img: int,
+                        cins: tuple, relu: bool, gated: bool,
+                        has_res: bool, out_dtype):
     """One grid step: output lanes [i*NT, (i+1)*NT) of ``[C2, HW]``.
 
-    win: VMEM scratch [C, NT + 2W] — halo'd window (prev tail | mid |
-    next head). tap9: VMEM scratch [9C, NT] — the packed taps.
+    Takes ``len(cins)`` logical inputs (a channel-concat conv without
+    the HBM concat — the UNet's AFF/SCM/Convs* consume concatenations
+    whose materialization is pure bandwidth waste). Per input j:
+    xprev_j/xnext_j are HB-lane halo blocks (the minimal 128-divisible
+    row group adjacent to this step's NT lanes), not full neighbour
+    blocks — each input byte is fetched ~(1 + 2*HB/NT)x instead of 3x,
+    which is what moves the full-res convs off the HBM roofline.
+    win_j: VMEM scratch [C_j, NT + 2W] — halo'd window (prev tail |
+    mid | next head). tap9: VMEM scratch [9*sum(C), NT] — packed taps,
+    channel blocks ordered (tap, input) to match the concat weight
+    layout. When ``has_res`` a residual block rides along and is added
+    after the epilogue (fuses the ResBlock skip-add; ``unet.py``
+    ResBlock).
     """
+    k = len(cins)
+    xrefs, rest = refs[:3 * k], refs[3 * k:]
+    if has_res:
+        w_ref, b_ref, s_ref, o_ref, res_ref, out_ref = rest[:6]
+        scratch = rest[6:]
+    else:
+        w_ref, b_ref, s_ref, o_ref, out_ref = rest[:5]
+        res_ref = None
+        scratch = rest[5:]
+    wins, tap9 = scratch[:k], scratch[k]
     i = pl.program_id(0)
     n = pl.num_programs(0)
     wv = w_img
-    # assemble the halo'd window [pad1 | prev tail W | mid NT |
-    # next head W | pad1]; separate stores (Mosaic cannot concatenate
-    # vectors whose source slices sit at different offsets). The two
-    # single-column pads catch the corner taps (dy=dx=-1 / dy=dx=+1);
-    # every read from them is border-masked below.
-    win[:, 0:1] = jnp.zeros_like(win[:, 0:1])
-    win[:, 1:1 + wv] = jnp.where(i > 0, xprev_ref[:, nt - wv:], 0.0)
-    win[:, 1 + wv:1 + wv + nt] = xmid_ref[:, :]
-    win[:, 1 + wv + nt:1 + 2 * wv + nt] = jnp.where(
-        i < n - 1, xnext_ref[:, :wv], 0.0)
-    win[:, 1 + 2 * wv + nt:] = jnp.zeros_like(win[:, 0:1])
-
+    ctot = sum(cins)
     # border masks: lane % W == 0 has no left neighbour, == W-1 no right
     col = jax.lax.broadcasted_iota(jnp.int32, (1, nt), 1) % wv
-    not_left = (col != 0).astype(win.dtype)
-    not_right = (col != wv - 1).astype(win.dtype)
-    for t, (dy, dx) in enumerate((dy, dx) for dy in (-1, 0, 1)
-                                 for dx in (-1, 0, 1)):
-        off = 1 + wv + dy * wv + dx
-        tap = win[:, off:off + nt]
-        if dx == -1:
-            tap = tap * not_left
-        elif dx == 1:
-            tap = tap * not_right
-        tap9[t * cin:(t + 1) * cin, :] = tap
+    not_left = (col != 0).astype(tap9.dtype)
+    not_right = (col != wv - 1).astype(tap9.dtype)
+    coff = 0
+    for j in range(k):
+        xprev_ref, xmid_ref, xnext_ref = xrefs[3 * j:3 * j + 3]
+        win = wins[j]
+        # assemble the halo'd window [pad1 | prev tail W | mid NT |
+        # next head W | pad1]; separate stores (Mosaic cannot
+        # concatenate vectors whose source slices sit at different
+        # offsets). The two single-column pads catch the corner taps
+        # (dy=dx=-1 / dy=dx=+1); every read from them is border-masked.
+        win[:, 0:1] = jnp.zeros_like(win[:, 0:1])
+        win[:, 1:1 + wv] = jnp.where(i > 0, xprev_ref[:, hb - wv:], 0.0)
+        win[:, 1 + wv:1 + wv + nt] = xmid_ref[:, :]
+        win[:, 1 + wv + nt:1 + 2 * wv + nt] = jnp.where(
+            i < n - 1, xnext_ref[:, :wv], 0.0)
+        win[:, 1 + 2 * wv + nt:] = jnp.zeros_like(win[:, 0:1])
+
+        for t, (dy, dx) in enumerate((dy, dx) for dy in (-1, 0, 1)
+                                     for dx in (-1, 0, 1)):
+            off = 1 + wv + dy * wv + dx
+            tap = win[:, off:off + nt]
+            if dx == -1:
+                tap = tap * not_left
+            elif dx == 1:
+                tap = tap * not_right
+            tap9[t * ctot + coff:t * ctot + coff + cins[j], :] = tap
+        coff += cins[j]
 
     acc = jax.lax.dot_general(
         w_ref[:], tap9[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     out = _epilogue_chw(acc, b_ref[:], s_ref[:], o_ref[:], relu, gated)
+    if res_ref is not None:
+        out = out + res_ref[:, :]
     out_ref[:, :] = out.astype(out_dtype)
 
 
@@ -134,7 +166,8 @@ def _conv3x3_chw_kernel(xprev_ref, xmid_ref, xnext_ref, w_ref, b_ref,
     jax.jit,
     static_argnames=("w_img", "relu", "gated", "rows", "interpret"))
 def gated_conv3x3_chw(x: jax.Array, w: jax.Array, b: jax.Array,
-                      scale: jax.Array, offset: jax.Array, *,
+                      scale: jax.Array, offset: jax.Array,
+                      res: Optional[jax.Array] = None, *,
                       w_img: int, relu: bool = True, gated: bool = True,
                       rows: int = 0, interpret: bool = False
                       ) -> jax.Array:
@@ -144,10 +177,13 @@ def gated_conv3x3_chw(x: jax.Array, w: jax.Array, b: jax.Array,
       x: ``[Cin, H*W]`` activations (f32 or bf16), row-major pixels.
       w: ``[3, 3, Cin, C2]`` HWIO conv weights (C2 = 2*Cout when gated).
       b: ``[C2]``; scale, offset: ``[Cout]`` folded eval-BN affine.
+      res: optional ``[Cout, H*W]`` residual, added after the epilogue
+        (fuses the ResBlock skip-add into the conv's output write).
       w_img: the image width W (lanes per image row).
 
     Returns ``[Cout, H*W]`` in x.dtype.
     """
+    import math
     cin, hw = x.shape
     assert hw % w_img == 0, (hw, w_img)
     h = hw // w_img
@@ -159,32 +195,54 @@ def gated_conv3x3_chw(x: jax.Array, w: jax.Array, b: jax.Array,
         x = jnp.pad(x, ((0, 0), (0, hpad * w_img)))
     nt = nr * w_img
     grid = (h + hpad) // nr
+    # minimal 128-lane-divisible halo: hr rows next to the block edge
+    # (hr = nr is the fetch-the-whole-neighbour fallback, used when an
+    # explicit ``rows`` override is not a multiple of the minimum)
+    hr = 128 // math.gcd(w_img, 128)
+    if nr % hr:
+        hr = nr
+    hb = hr * w_img
+    rpb = nr // hr  # halo blocks per mid block
     # [3,3,Cin,C2] -> [C2, 9*Cin] with (dy, dx, ci) tap order matching
     # the kernel's tap9 packing
     wr = jnp.transpose(w, (3, 0, 1, 2)).reshape(c2, 9 * cin).astype(
         x.dtype)
 
     kern = functools.partial(
-        _conv3x3_chw_kernel, nt=nt, w_img=w_img, cin=cin, relu=relu,
-        gated=gated, out_dtype=x.dtype)
+        _conv3x3_chw_kernel, nt=nt, hb=hb, w_img=w_img, cins=(cin,),
+        relu=relu, gated=gated, has_res=res is not None,
+        out_dtype=x.dtype)
     blk = (cin, nt)
+    in_specs = [
+        pl.BlockSpec((cin, hb),
+                     lambda i: (0, jnp.maximum(i * rpb - 1, 0)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(blk, lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((cin, hb),
+                     lambda i: (0, jnp.minimum(
+                         (i + 1) * rpb,
+                         pl.num_programs(0) * rpb - 1)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    operands = [x, x, x, wr, b.astype(jnp.float32)[:, None],
+                scale.astype(jnp.float32)[:, None],
+                offset.astype(jnp.float32)[:, None]]
+    if res is not None:
+        assert res.shape == (cout, hw), (res.shape, cout, hw)
+        if hpad:
+            res = jnp.pad(res, ((0, 0), (0, hpad * w_img)))
+        in_specs.append(pl.BlockSpec((cout, nt), lambda i: (0, i),
+                                     memory_space=pltpu.VMEM))
+        operands.append(res)
     out = pl.pallas_call(
         kern,
         grid=(grid,),
-        in_specs=[
-            pl.BlockSpec(blk, lambda i: (0, jnp.maximum(i - 1, 0)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(blk, lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(blk,
-                         lambda i: (0, jnp.minimum(
-                             i + 1, pl.num_programs(0) - 1)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((cout, nt), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((cout, (h + hpad) * w_img),
@@ -195,26 +253,32 @@ def gated_conv3x3_chw(x: jax.Array, w: jax.Array, b: jax.Array,
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * hw * 9 * cin * c2,
-            bytes_accessed=x.size * x.dtype.itemsize * 3
-            + hw * cout * x.dtype.itemsize,
+            bytes_accessed=int(
+                x.size * x.dtype.itemsize * (1 + 2 / rpb)
+                + hw * cout * x.dtype.itemsize),
             transcendentals=2 * hw * cout,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x, x, x, wr, b.astype(jnp.float32)[:, None],
-      scale.astype(jnp.float32)[:, None],
-      offset.astype(jnp.float32)[:, None])
+    )(*operands)
     return out[:, :hw]
 
 
-def _conv1x1_chw_kernel(x_ref, w_ref, b_ref, s_ref, o_ref, out_ref, *,
-                        relu: bool, gated: bool, out_dtype):
+def _conv1x1_chw_kernel(*refs, relu: bool, gated: bool, has_res: bool,
+                        out_dtype):
+    if has_res:
+        x_ref, w_ref, b_ref, s_ref, o_ref, res_ref, out_ref = refs
+    else:
+        x_ref, w_ref, b_ref, s_ref, o_ref, out_ref = refs
+        res_ref = None
     acc = jax.lax.dot_general(
         w_ref[:], x_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     out = _epilogue_chw(acc, b_ref[:], s_ref[:], o_ref[:], relu, gated)
+    if res_ref is not None:
+        out = out + res_ref[:, :]
     out_ref[:, :] = out.astype(out_dtype)
 
 
@@ -222,13 +286,15 @@ def _conv1x1_chw_kernel(x_ref, w_ref, b_ref, s_ref, o_ref, out_ref, *,
     jax.jit,
     static_argnames=("relu", "gated", "lanes", "interpret"))
 def gated_conv1x1_chw(x: jax.Array, w: jax.Array, b: jax.Array,
-                      scale: jax.Array, offset: jax.Array, *,
+                      scale: jax.Array, offset: jax.Array,
+                      res: Optional[jax.Array] = None, *,
                       relu: bool = True, gated: bool = True,
                       lanes: int = 8192, interpret: bool = False
                       ) -> jax.Array:
     """Fused 1x1 gated conv (gated matmul) + BN affine, channel-major.
 
-    x ``[Cin, N]``; w ``[1, 1, Cin, C2]`` or ``[Cin, C2]``.
+    x ``[Cin, N]``; w ``[1, 1, Cin, C2]`` or ``[Cin, C2]``;
+    res: optional ``[Cout, N]`` residual added after the epilogue.
     """
     cin, n = x.shape
     if w.ndim == 4:
@@ -249,18 +315,29 @@ def gated_conv1x1_chw(x: jax.Array, w: jax.Array, b: jax.Array,
     wr = w.T.astype(x.dtype)  # [C2, Cin]
 
     kern = functools.partial(_conv1x1_chw_kernel, relu=relu, gated=gated,
-                             out_dtype=x.dtype)
+                             has_res=res is not None, out_dtype=x.dtype)
+    in_specs = [
+        pl.BlockSpec((cin, nt), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    operands = [x, wr, b.astype(jnp.float32)[:, None],
+                scale.astype(jnp.float32)[:, None],
+                offset.astype(jnp.float32)[:, None]]
+    if res is not None:
+        assert res.shape == (cout, n), (res.shape, cout, n)
+        if npad:
+            res = jnp.pad(res, ((0, 0), (0, npad)))
+        in_specs.append(pl.BlockSpec((cout, nt), lambda i: (0, i),
+                                     memory_space=pltpu.VMEM))
+        operands.append(res)
     out = pl.pallas_call(
         kern,
         grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((cin, nt), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((cout, nt), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((cout, n + npad), x.dtype),
@@ -271,7 +348,112 @@ def gated_conv1x1_chw(x: jax.Array, w: jax.Array, b: jax.Array,
             transcendentals=2 * n * cout,
         ),
         interpret=interpret,
-    )(x, wr, b.astype(jnp.float32)[:, None],
-      scale.astype(jnp.float32)[:, None],
-      offset.astype(jnp.float32)[:, None])
+    )(*operands)
+    return out[:, :n]
+
+
+def _conv1x1_cat_kernel(*refs, k: int, relu: bool, gated: bool,
+                        has_res: bool, out_dtype):
+    """Concat-free 1x1 conv: out = sum_j w_j @ x_j, epilogue fused.
+
+    The UNet's channel concats (AFF/SCM/Convs*) all feed 1x1 convs, so
+    the concat is algebraically a blocked matmul — materializing it in
+    HBM (e.g. AFF0's [128, HW] at full res) is pure bandwidth waste.
+    """
+    xs, ws = refs[:k], refs[k:2 * k]
+    b_ref, s_ref, o_ref = refs[2 * k:2 * k + 3]
+    res_ref = refs[2 * k + 3] if has_res else None
+    out_ref = refs[-1]
+    acc = jax.lax.dot_general(
+        ws[0][:], xs[0][:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    for j in range(1, k):
+        acc = acc + jax.lax.dot_general(
+            ws[j][:], xs[j][:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    out = _epilogue_chw(acc, b_ref[:], s_ref[:], o_ref[:], relu, gated)
+    if res_ref is not None:
+        out = out + res_ref[:, :]
+    out_ref[:, :] = out.astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("relu", "gated", "lanes", "interpret"))
+def gated_conv1x1_cat_chw(xs, w: jax.Array, b: jax.Array,
+                          scale: jax.Array, offset: jax.Array,
+                          res: Optional[jax.Array] = None, *,
+                          relu: bool = True, gated: bool = True,
+                          lanes: int = 8192, interpret: bool = False
+                          ) -> jax.Array:
+    """Fused 1x1 gated conv over a LOGICAL channel concat of ``xs``.
+
+    xs: tuple of ``[C_j, N]`` channel-major inputs; w: ``[1, 1,
+    sum(C_j), C2]`` (or 2-D) — the conv the reference applies to
+    ``concat(xs)``. The concat never touches HBM: each grid step
+    accumulates per-input MXU matmuls against the corresponding
+    row-block of the weight. Epilogue (bias, gate, folded eval-BN,
+    optional residual) identical to :func:`gated_conv1x1_chw`.
+    """
+    xs = tuple(xs)
+    k = len(xs)
+    cins = tuple(int(x.shape[0]) for x in xs)
+    ctot = sum(cins)
+    n = xs[0].shape[1]
+    for x in xs:
+        assert x.shape[1] == n, [x.shape for x in xs]
+    if w.ndim == 4:
+        w = w.reshape(ctot, -1)
+    assert w.shape[0] == ctot, (w.shape, cins)
+    c2 = w.shape[-1]
+    cout = c2 // 2 if gated else c2
+    dtype = xs[0].dtype
+    fit = (4 * 1024 * 1024 // (4 * max(ctot + c2, 1))) // 128 * 128
+    nt = max(512, min(lanes, fit))
+    if n <= nt:
+        nt = n
+    npad = (-n) % nt
+    if npad:
+        xs = tuple(jnp.pad(x, ((0, 0), (0, npad))) for x in xs)
+    grid = (n + npad) // nt
+    # split the concat weight into per-input [C2, C_j] blocks
+    wt = w.T.astype(dtype)  # [C2, ctot]
+    ws, off = [], 0
+    for c in cins:
+        ws.append(wt[:, off:off + c])
+        off += c
+
+    kern = functools.partial(_conv1x1_cat_kernel, k=k, relu=relu,
+                             gated=gated, has_res=res is not None,
+                             out_dtype=dtype)
+    in_specs = [pl.BlockSpec((c, nt), lambda i: (0, i),
+                             memory_space=pltpu.VMEM) for c in cins]
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * (k + 3)
+    operands = list(xs) + ws + [b.astype(jnp.float32)[:, None],
+                                scale.astype(jnp.float32)[:, None],
+                                offset.astype(jnp.float32)[:, None]]
+    if res is not None:
+        assert res.shape == (cout, n), (res.shape, cout, n)
+        if npad:
+            res = jnp.pad(res, ((0, 0), (0, npad)))
+        in_specs.append(pl.BlockSpec((cout, nt), lambda i: (0, i),
+                                     memory_space=pltpu.VMEM))
+        operands.append(res)
+    out = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((cout, nt), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((cout, n + npad), dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * ctot * c2,
+            bytes_accessed=(n + npad) * ctot * dtype.itemsize
+            + n * cout * dtype.itemsize,
+            transcendentals=2 * n * cout,
+        ),
+        interpret=interpret,
+    )(*operands)
     return out[:, :n]

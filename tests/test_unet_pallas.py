@@ -48,6 +48,31 @@ def test_gated_conv3x3_chw_oracle(cin, cout, h, w, relu):
                                rtol=1e-4)
 
 
+def test_gated_conv3x3_chw_minimal_halo():
+    """Exercises the reduced-traffic halo path: w=16 -> hr=8 halo rows,
+    rows=16 -> rpb=2 halo blocks per mid block, grid=2 so the cross-
+    block halo rows actually come from the neighbour fetch."""
+    rng = np.random.default_rng(7)
+    cin, cout, h, w = 8, 4, 32, 16
+    x = rng.normal(size=(1, h, w, cin)).astype(np.float32)
+    wk = rng.normal(size=(3, 3, cin, 2 * cout)).astype(np.float32) * 0.2
+    b = rng.normal(size=2 * cout).astype(np.float32)
+    scale, offset = _bn_affine(rng, cout)
+    fm = jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(wk), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+    f, m = fm[..., :cout], fm[..., cout:]
+    f = jnp.where(f > 0, f, jnp.expm1(jnp.minimum(f, 0)))
+    ref = (f * jax.nn.sigmoid(m)) * scale + offset
+    x_chw = jnp.asarray(x[0].transpose(2, 0, 1).reshape(cin, h * w))
+    out = GP.gated_conv3x3_chw(x_chw, jnp.asarray(wk), jnp.asarray(b),
+                               scale, offset, w_img=w, relu=True,
+                               rows=16, interpret=True)
+    out = np.asarray(out).reshape(cout, h, w).transpose(1, 2, 0)
+    np.testing.assert_allclose(out, np.asarray(ref[0]), atol=2e-5,
+                               rtol=1e-4)
+
+
 def test_gated_conv1x1_chw_oracle():
     rng = np.random.default_rng(3)
     cin, cout, n = 16, 8, 100
@@ -64,6 +89,47 @@ def test_gated_conv1x1_chw_oracle():
                                relu=True, lanes=64, interpret=True)
     np.testing.assert_allclose(np.asarray(out).T, ref, atol=2e-5,
                                rtol=1e-4)
+
+
+def test_gated_conv3x3_chw_fused_residual():
+    rng = np.random.default_rng(11)
+    cin, cout, h, w = 8, 8, 8, 16
+    x = rng.normal(size=(1, h, w, cin)).astype(np.float32)
+    r = rng.normal(size=(cout, h * w)).astype(np.float32)
+    wk = rng.normal(size=(3, 3, cin, 2 * cout)).astype(np.float32) * 0.2
+    b = rng.normal(size=2 * cout).astype(np.float32)
+    scale, offset = _bn_affine(rng, cout)
+    x_chw = jnp.asarray(x[0].transpose(2, 0, 1).reshape(cin, h * w))
+    base = GP.gated_conv3x3_chw(x_chw, jnp.asarray(wk), jnp.asarray(b),
+                                scale, offset, w_img=w, relu=False,
+                                rows=2, interpret=True)
+    out = GP.gated_conv3x3_chw(x_chw, jnp.asarray(wk), jnp.asarray(b),
+                               scale, offset, jnp.asarray(r), w_img=w,
+                               relu=False, rows=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base) + r,
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_gated_conv1x1_cat_chw_oracle():
+    """Concat-free 1x1 == 1x1 on the materialized concat (+res fuse)."""
+    rng = np.random.default_rng(5)
+    cins, cout, n = (16, 8, 4), 8, 300
+    ctot = sum(cins)
+    xs = [rng.normal(size=(c, n)).astype(np.float32) for c in cins]
+    r = rng.normal(size=(cout, n)).astype(np.float32)
+    wk = rng.normal(size=(1, 1, ctot, 2 * cout)).astype(np.float32)
+    b = rng.normal(size=2 * cout).astype(np.float32)
+    scale, offset = _bn_affine(rng, cout)
+    ref = GP.gated_conv1x1_chw(
+        jnp.concatenate([jnp.asarray(x) for x in xs], axis=0),
+        jnp.asarray(wk), jnp.asarray(b), scale, offset,
+        jnp.asarray(r), relu=True, lanes=128, interpret=True)
+    out = GP.gated_conv1x1_cat_chw(
+        tuple(jnp.asarray(x) for x in xs), jnp.asarray(wk),
+        jnp.asarray(b), scale, offset, jnp.asarray(r), relu=True,
+        lanes=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
 
 
 @pytest.mark.slow
@@ -96,6 +162,25 @@ def test_unet_pallas_seg_head():
     out = UP.unet_pallas_apply(variables, *pyr, interpret=True)
     np.testing.assert_allclose(np.asarray(out["seg_out"]),
                                np.asarray(ref["seg_out"]),
+                               atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_unet_pallas_cat11_matches_flax(monkeypatch):
+    # concat-free 1x1 convs (opt-in) vs the flax oracle
+    monkeypatch.setenv("READ_TPU_PALLAS_CAT11", "1")
+    rng = np.random.default_rng(3)
+    h, w = 32, 64
+    pyr = [jnp.asarray(rng.normal(size=(1, h // f, w // f, 8))
+                       .astype(np.float32)) for f in (1, 2, 4, 8)]
+    net = UNet()
+    variables = net.init(jax.random.PRNGKey(0), *pyr, train=False)
+    ref = net.apply(variables, *pyr, train=False)
+    UP.unet_pallas_apply.clear_cache()  # drop default-path trace
+    out = UP.unet_pallas_apply(variables, *pyr, interpret=True)
+    UP.unet_pallas_apply.clear_cache()
+    np.testing.assert_allclose(np.asarray(out["im_out"]),
+                               np.asarray(ref["im_out"]),
                                atol=5e-4, rtol=1e-3)
 
 
