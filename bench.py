@@ -31,10 +31,13 @@ def main():
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
-    from __graft_entry__ import entry
+    from __graft_entry__ import entry_orchestrated
 
-    fn, args = entry()
-    jfn = jax.jit(fn)
+    # the orchestrated frame (raster | encoder | decoder executables)
+    # is the production path: the segment split is what keeps the s2d
+    # strided kernels crash-free (unet_pallas_apply_seg); for non-
+    # pallas conv_impls it falls back to jit(entry()).
+    jfn, args = entry_orchestrated()
     # Commit every argument to the device: `device_put` WITHOUT an
     # explicit device does not commit the buffer, and an uncommitted
     # ~180MB arg re-uploads through the tunnel on EVERY call (measured

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from read_tpu.models.unet import _im2col_conv
 from read_tpu.ops import gated_conv_pack as GP
 
-__all__ = ["unet_pallas_apply"]
+__all__ = ["unet_pallas_apply", "unet_pallas_apply_seg"]
 
 _BN_EPS = 1e-5
 
@@ -57,11 +57,12 @@ def _S2D_ENABLED(name: str = "") -> bool:
     ``1`` enables every eligible transition; a comma list of layer
     names (``feat1,feat2``) enables only those — the bisection knob.
 
-    Status (round 3, scripts/probe_s2d.py + RESULTS_r03.md): each
-    eligible conv shape is oracle-exact AND runs clean on the real TPU
-    in isolation, but the FULL UNet graph with all three s2d convs
-    faulted the worker 3/3 times — a multi-kernel interaction still
-    unattributed. Off by default; worth ~8 ms/frame when cleared."""
+    Status (round 3, ATTRIBUTED — scripts/probe_pack_new.py): the
+    kernels are oracle-exact and clean in isolation, as per-kernel
+    dispatches, and in the two-executable seg path
+    (:func:`unet_pallas_apply_seg`, where s2d is ON by default); only
+    the single whole-graph executable faults the worker, so this env
+    knob stays off by default for the single-jit path."""
     import os
     v = os.environ.get("READ_TPU_PALLAS_S2D", "0")
     if v == "1":
@@ -111,11 +112,12 @@ def _s2d_weights(w: jax.Array) -> jax.Array:
 class _Ctx:
     """Carries variables + options through the forward."""
 
-    def __init__(self, params, stats, dtype, interpret):
+    def __init__(self, params, stats, dtype, interpret, s2d=False):
         self.params = params
         self.stats = stats
         self.dtype = dtype
         self.interpret = interpret
+        self.s2d = s2d  # explicit opt-in (seg path); OR'd with the env knob
 
     def conv(self, name: str, x: jax.Array, relu: bool,
              stride: int = 1,
@@ -146,7 +148,7 @@ class _Ctx:
                 relu=relu, gated=True, interpret=self.interpret)
             return out.reshape(-1, h, wd)
         if (stride == 2 and k in (3, 4) and h % 2 == 0 and wd % 2 == 0
-                and _S2D_ENABLED(name)):
+                and (self.s2d or _S2D_ENABLED(name))):
             # space-to-depth: stride-2 conv == 3x3/stride-1 conv on the
             # [4C, H/2, W/2] parity planes (glue diagnostic: the im2col
             # route + its NHWC transposes cost ~9.7 ms/frame of 50).
@@ -255,15 +257,7 @@ def _bilinear_up4(x):
     return jax.image.resize(x, (c, h * 4, w * 4), method="bilinear")
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("num_res", "interpret", "dtype_name"))
-def unet_pallas_apply(variables: Dict, x, x_2, x_4, x_8,
-                      num_res: int = 4, interpret: bool = False,
-                      dtype_name: str = "float32") -> Dict[str, Any]:
-    """Eval-mode UNet forward. Inputs NHWC ``[1, h, w, c]`` (batch 1);
-    returns ``{'im_out': [1, h, w, 3]}`` (+ ``seg_out`` when the
-    checkpoint has a seg head) — same contract as ``UNet.apply`` with
-    ``train=False``."""
+def _check_dtype(dtype_name: str, interpret: bool):
     if dtype_name == "bfloat16" and not interpret:
         # Round-3 finding: the packed-lane kernels compile in bf16 but
         # FAULT the TPU worker at run time (Mosaic bf16 (16,128) tiling
@@ -273,9 +267,17 @@ def unet_pallas_apply(variables: Dict, x, x_2, x_4, x_8,
         raise ValueError(
             "conv_impl='pallas' supports float32 only on TPU; "
             "use conv_impl='im2col' for bfloat16 inference")
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_res", "interpret", "dtype_name",
+                                    "s2d"))
+def _encoder_seg(variables: Dict, x, x_2, x_4, x_8, num_res: int,
+                 interpret: bool, dtype_name: str, s2d: bool = False):
+    """Encoder half: inputs NHWC pyramid -> (res1, res2, res3, z)."""
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     params, stats = variables["params"], variables["batch_stats"]
-    ctx = _Ctx(params, stats, dtype, interpret)
+    ctx = _Ctx(params, stats, dtype, interpret, s2d)
 
     def chw(t):
         return jnp.transpose(t[0], (2, 0, 1)).astype(dtype)
@@ -300,6 +302,19 @@ def unet_pallas_apply(variables: Dict, x, x_2, x_4, x_8,
     z = ctx.conv("feat6", res3, relu=True, stride=2)
     z = _fam(ctx, "FAM0", z, z8)
     z = _eblock(ctx, "Encoder3", z, num_res)
+    return res1, res2, res3, z
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_res", "interpret", "dtype_name",
+                                    "s2d"))
+def _decoder_seg(variables: Dict, res1, res2, res3, z, num_res: int,
+                 interpret: bool, dtype_name: str, s2d: bool = False
+                 ) -> Dict[str, Any]:
+    """Decoder half: (res1, res2, res3, z) -> output dict (NHWC)."""
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    params, stats = variables["params"], variables["batch_stats"]
+    ctx = _Ctx(params, stats, dtype, interpret, s2d)
 
     z12 = _ndown(res1, 2)
     z13 = _ndown(res1, 4)
@@ -339,3 +354,45 @@ def unet_pallas_apply(variables: Dict, x, x_2, x_4, x_8,
     if "seg_head" in params:
         out["seg_out"] = nhwc(ctx.conv("seg_head", feats, relu=False))
     return out
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_res", "interpret", "dtype_name"))
+def unet_pallas_apply(variables: Dict, x, x_2, x_4, x_8,
+                      num_res: int = 4, interpret: bool = False,
+                      dtype_name: str = "float32") -> Dict[str, Any]:
+    """Eval-mode UNet forward. Inputs NHWC ``[1, h, w, c]`` (batch 1);
+    returns ``{'im_out': [1, h, w, 3]}`` (+ ``seg_out`` when the
+    checkpoint has a seg head) — same contract as ``UNet.apply`` with
+    ``train=False``. Whole-graph executable (one dispatch)."""
+    _check_dtype(dtype_name, interpret)
+    r1, r2, r3, z = _encoder_seg(variables, x, x_2, x_4, x_8,
+                                 num_res, interpret, dtype_name)
+    return _decoder_seg(variables, r1, r2, r3, z,
+                        num_res, interpret, dtype_name)
+
+
+def unet_pallas_apply_seg(variables: Dict, x, x_2, x_4, x_8,
+                          num_res: int = 4, interpret: bool = False,
+                          dtype_name: str = "float32",
+                          s2d: bool = True) -> Dict[str, Any]:
+    """:func:`unet_pallas_apply` as TWO executables (encoder/decoder),
+    with the space-to-depth strided transitions ON by default.
+
+    Round-3 fault attribution (scripts/probe_pack_new.py): the s2d
+    strided route and the concat-free 1x1 kernels are bit-exact and
+    clean per-kernel AND as per-kernel dispatches (eager full net),
+    but fault the TPU worker when compiled into the single whole-graph
+    executable alongside the other ~18 Mosaic programs (distinct-
+    program COUNT is not the trigger — 56 small programs in one
+    executable run clean, scripts/probe_kernel_count.py). Splitting at
+    the encoder/decoder boundary keeps each executable under whatever
+    resource cliff the runtime hits, at the cost of one extra
+    dispatch: measured 40.14 ms/frame vs 43.97 single-graph-no-s2d in
+    the same window. Not jitted as a whole BY DESIGN — do not wrap in
+    an outer jit (that rebuilds the single faulting executable)."""
+    _check_dtype(dtype_name, interpret)
+    r1, r2, r3, z = _encoder_seg(variables, x, x_2, x_4, x_8,
+                                 num_res, interpret, dtype_name, s2d)
+    return _decoder_seg(variables, r1, r2, r3, z,
+                        num_res, interpret, dtype_name, s2d)

@@ -170,19 +170,9 @@ class NeuralRenderer:
         pallas_interpret = jax.default_backend() != "tpu"
 
         def _apply_net(state, pyr):
-            if use_pallas_net:
-                # packed-lane Pallas inference forward over the same
-                # variables (models/unet_pallas.py); batch-1 frames
-                from read_tpu.models import unet_pallas as UP
-                out = UP.unet_pallas_apply(
-                    {"params": state.params,
-                     "batch_stats": state.batch_stats}, *pyr,
-                    dtype_name=dtype_name,
-                    interpret=pallas_interpret)
-            else:
-                out = net.apply({"params": state.params,
-                                 "batch_stats": state.batch_stats},
-                                *pyr, train=False)
+            out = net.apply({"params": state.params,
+                             "batch_stats": state.batch_stats},
+                            *pyr, train=False)
             return out["im_out"]
 
         def _pyramids(state, xyz, total_m):
@@ -195,8 +185,28 @@ class NeuralRenderer:
             return _apply_net(state, _pyramids(state, xyz, total_m))
 
         self._pyr_fn = jax.jit(_pyramids)
-        self._net_fn = jax.jit(_apply_net)
-        self._infer_fn = jax.jit(_infer)
+        if use_pallas_net:
+            # Packed-lane Pallas inference over the same variables
+            # (models/unet_pallas.py), dispatched as raster/encoder/
+            # decoder executables: the two-segment split is what keeps
+            # the s2d strided kernels crash-free on the TPU runtime
+            # (see unet_pallas_apply_seg) — do NOT re-wrap in jit.
+            from read_tpu.models import unet_pallas as UP
+
+            def _net_seg(state, pyr):
+                out = UP.unet_pallas_apply_seg(
+                    {"params": state.params,
+                     "batch_stats": state.batch_stats}, *pyr,
+                    dtype_name=dtype_name,
+                    interpret=pallas_interpret)
+                return out["im_out"]
+
+            self._net_fn = _net_seg
+            self._infer_fn = lambda state, xyz, total_m: _net_seg(
+                state, self._pyr_fn(state, xyz, total_m))
+        else:
+            self._net_fn = jax.jit(_apply_net)
+            self._infer_fn = jax.jit(_infer)
         self._raster = jax.jit(
             lambda xyz, m: R.rasterize_batch(xyz, m, h, w))
 

@@ -91,7 +91,7 @@ def _kernel_probe(name: str):
     print(f"  {_time(f):.3f} ms", flush=True)
 
 
-def _full_probe(cat: bool):
+def _full_probe(cat: bool, eager: str = ""):
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -109,7 +109,17 @@ def _full_probe(cat: bool):
     variables = jax.device_put(
         net.init(jax.random.PRNGKey(0), *pyr, train=False), dev)
     ref = np.asarray(net.apply(variables, *pyr, train=False)["im_out"])
-    f = lambda: UP.unet_pallas_apply(variables, *pyr)["im_out"]
+    if eager == "eager":
+        # per-kernel dispatches, no whole-graph executable: attributes
+        # whole-graph compilation (layout/fusion) vs the kernels
+        f = lambda: UP._decoder_seg.__wrapped__(
+            variables, *UP._encoder_seg.__wrapped__(
+                variables, *pyr, 4, False, "float32"),
+            4, False, "float32")["im_out"]
+    elif eager == "seg2":
+        f = lambda: UP.unet_pallas_apply_seg(variables, *pyr)["im_out"]
+    else:
+        f = lambda: UP.unet_pallas_apply(variables, *pyr)["im_out"]
     out = np.asarray(f())
     print(f"  maxdiff vs flax: {np.abs(out - ref).max():.2e}", flush=True)
     print(f"  net {_time(f):.2f} ms/frame", flush=True)
@@ -124,6 +134,19 @@ def child(name: str):
         _full_probe(cat=False)
     elif name == "full_cat":
         _full_probe(cat=True)
+    elif name == "full_cat_eager":
+        _full_probe(cat=True, eager="eager")
+    elif name == "full_s2d_eager":
+        os.environ["READ_TPU_PALLAS_S2D"] = "1"
+        _full_probe(cat=False, eager="eager")
+    elif name == "full_cat_seg2":
+        _full_probe(cat=True, eager="seg2")
+    elif name == "full_s2d_seg2":
+        os.environ["READ_TPU_PALLAS_S2D"] = "1"
+        _full_probe(cat=False, eager="seg2")
+    elif name == "full_all_seg2":
+        os.environ["READ_TPU_PALLAS_S2D"] = "1"
+        _full_probe(cat=True, eager="seg2")
     else:
         _kernel_probe(name)
 
