@@ -7,11 +7,13 @@ that runs the whole forward in channel-major ``[C, H, W]`` layout:
 - every 3x3/stride-1 gated conv -> ``ops.gated_conv_pack.gated_conv3x3_chw``
   (one MXU matmul per tile, epilogue fused in VMEM);
 - every 1x1 conv -> ``gated_conv1x1_chw`` (gated matmul);
-- the six strided transition convs (k3s2 / k4s2) -> the im2col matmul
-  formulation in NHWC (a local transpose; they run at reduced
-  resolution so the transpose cost is marginal);
-- resamples (nearest up/down, x4 bilinear) and concats stay XLA ops on
-  the channel-major arrays.
+- strided transition convs (k3s2 / k4s2) -> space-to-depth 3x3 packed
+  kernels in the seg path (im2col matmul fallback for the deep
+  transitions whose tap scratch exceeds VMEM);
+- the 1x1 concat consumers (AFF / SCM / decoder Convs*) -> low-res
+  split matmuls + one fused XLA epilogue (``conv1x1_comb``): the
+  concat and the full-res upsamples feeding it never materialize;
+- remaining resamples stay XLA ops on the channel-major arrays.
 
 Eval-mode BatchNorm is folded into each kernel's per-channel affine
 (``scale = gamma / sqrt(var + eps)``, ``offset = beta - mean*scale``).
@@ -75,11 +77,10 @@ def _CAT11_ENABLED(name: str = "") -> bool:
 
     ``1`` enables every 1x1 concat site (AFF/SCM/Convs*); a comma list
     of layer names (``Convs0,AFF0/BasicConv_0``) enables only those —
-    the bisection knob. Status (scripts/probe_pack_new.py): every cat
-    kernel is bit-exact AND clean on the real TPU in isolation at the
-    full-res shapes, but the full graph with all nine sites faulted
-    the worker — same isolated-clean/full-graph-fault class as the s2d
-    strided route. Off by default until a site subset is validated."""
+    the bisection knob. Status: bit-exact; clean on TPU in the seg
+    path; measured NEUTRAL vs the materialized concat (RESULTS_r03)
+    and then SUPERSEDED by ``conv1x1_comb`` (low-res split matmuls,
+    no concat at all), so this stays a bench/bisect knob only."""
     import os
     v = os.environ.get("READ_TPU_PALLAS_CAT11", "0")
     if v == "1":
@@ -182,6 +183,61 @@ class _Ctx:
         out = jnp.transpose(out[0], (2, 0, 1)).astype(self.dtype)
         return out if res is None else out + res
 
+    def _resample(self, x, mode: str, f: int):
+        if mode == "nearest" and f > 1:
+            return _nup(x, f)
+        if mode == "bilinear":
+            return _bilinear_up4(x)
+        return x
+
+    def conv1x1_comb(self, name: str, parts, relu: bool,
+                     res: Optional[jax.Array] = None) -> jax.Array:
+        """1x1 BasicConv over a logical concat of RESAMPLED inputs.
+
+        ``parts``: list of ``(tensor [C_j, h_j, w_j], mode, f)`` with
+        mode in {id, nearest, bilinear}; the concat channel order is
+        the parts order. Restructured as low-res matmuls + ONE fused
+        XLA epilogue: ``conv1x1(concat(up(x_j))) == sum_j up(W_j@x_j)``
+        because the matmul and the resamples are both linear, and the
+        gated epilogue is elementwise at output res. This kills both
+        the HBM concat (AFF0's is 859 MB/frame at 1216x368) and the
+        full-res upsample materializations feeding it (z41 alone is
+        458 MB/frame): each input is contracted AT ITS OWN RESOLUTION
+        and XLA fuses the repeat/resize + adds + gate into the single
+        output write. Reference math: ``AFF``/``SCM``/decoder ``Convs*``
+        (src/READ/models/unet.py:44-58,78-97)."""
+        p = _subtree(self.params, name)
+        s = _subtree(self.stats, name)
+        w = p["conv_fm"]["kernel"]
+        if w.shape[0] != 1 or _CAT11_ENABLED(name):
+            # bench/bisect knob: materialize the resampled inputs and
+            # use the kernel path (pallas cat when enabled)
+            xs = [self._resample(x, mode, f) for x, mode, f in parts]
+            return self.conv_cat(name, xs, relu, res=res)
+        b = p["conv_fm"]["bias"]
+        scale, offset = _fold_bn(p, s)
+        w2 = w.reshape(w.shape[2], w.shape[3])  # [ctot, C2]
+        acc, coff = None, 0
+        for x, mode, f in parts:
+            c = x.shape[0]
+            wj = w2[coff:coff + c].astype(self.dtype)
+            coff += c
+            a = jnp.einsum("cn,cd->dn", x.reshape(c, -1), wj,
+                           preferred_element_type=jnp.float32)
+            a = self._resample(a.reshape(-1, x.shape[1], x.shape[2]),
+                               mode, f)
+            acc = a if acc is None else acc + a
+        assert coff == w2.shape[0], (coff, w2.shape)
+        fm = acc + b.astype(jnp.float32)[:, None, None]
+        ch = fm.shape[0] // 2
+        fmf, fmm = fm[:ch], fm[ch:]
+        if relu:
+            fmf = _elu(fmf)
+        out = fmf * jax.nn.sigmoid(fmm)
+        out = (out * scale[:, None, None]
+               + offset[:, None, None]).astype(self.dtype)
+        return out if res is None else out + res
+
     def conv_cat(self, name: str, xs, relu: bool,
                  res: Optional[jax.Array] = None) -> jax.Array:
         """BasicConv over a logical concat of channel-major ``xs``.
@@ -231,15 +287,16 @@ def _scm(ctx: _Ctx, name: str, x):
     y = ctx.conv(f"{name}/BasicConv_1", y, relu=True)
     y = ctx.conv(f"{name}/BasicConv_2", y, relu=True)
     y = ctx.conv(f"{name}/BasicConv_3", y, relu=True)
-    return ctx.conv_cat(f"{name}/BasicConv_4", (x, y), relu=False)
+    return ctx.conv1x1_comb(f"{name}/BasicConv_4",
+                            [(x, "id", 1), (y, "id", 1)], relu=False)
 
 
 def _fam(ctx: _Ctx, name: str, x1, x2):
     return ctx.conv(f"{name}/BasicConv_0", x1 * x2, relu=False, res=x1)
 
 
-def _aff(ctx: _Ctx, name: str, x1, x2, x3, x4):
-    x = ctx.conv_cat(f"{name}/BasicConv_0", (x1, x2, x3, x4), relu=True)
+def _aff(ctx: _Ctx, name: str, parts):
+    x = ctx.conv1x1_comb(f"{name}/BasicConv_0", parts, relu=True)
     return ctx.conv(f"{name}/BasicConv_1", x, relu=False)
 
 
@@ -316,34 +373,34 @@ def _decoder_seg(variables: Dict, res1, res2, res3, z, num_res: int,
     params, stats = variables["params"], variables["batch_stats"]
     ctx = _Ctx(params, stats, dtype, interpret, s2d)
 
+    # downsamples are cheap slices (taken BEFORE the AFF matmul);
+    # the upsampled inputs never materialize — conv1x1_comb contracts
+    # each at its own resolution (see its docstring)
     z12 = _ndown(res1, 2)
     z13 = _ndown(res1, 4)
-    z21 = _nup(res2, 2)
     z23 = _ndown(res2, 2)
-    z32 = _nup(res3, 2)
-    z31 = _nup(res3, 4)
-    z43 = _nup(z, 2)
-    z42 = _nup(z43, 2)
-    z41 = _nup(z42, 2)
 
-    res1 = _aff(ctx, "AFF0", res1, z21, z31, z41)
-    res2 = _aff(ctx, "AFF1", z12, res2, z32, z42)
-    res3 = _aff(ctx, "AFF2", z13, z23, res3, z43)
+    res1 = _aff(ctx, "AFF0", [(res1, "id", 1), (res2, "nearest", 2),
+                              (res3, "nearest", 4), (z, "nearest", 8)])
+    res2 = _aff(ctx, "AFF1", [(z12, "id", 1), (res2, "id", 1),
+                              (res3, "nearest", 2), (z, "nearest", 4)])
+    res3 = _aff(ctx, "AFF2", [(z13, "id", 1), (z23, "id", 1),
+                              (res3, "id", 1), (z, "nearest", 2)])
 
     z = _eblock(ctx, "Decoder0", z, num_res)
     z = ctx.conv("feat7", z, relu=True, stride=2)
-    z = _bilinear_up4(z)
-    z = ctx.conv_cat("Convs0", (z, res3), relu=True)
+    z = ctx.conv1x1_comb("Convs0", [(z, "bilinear", 4),
+                                    (res3, "id", 1)], relu=True)
     z = _eblock(ctx, "Decoder1", z, num_res)
 
     z = ctx.conv("feat3", z, relu=True, stride=2)
-    z = _bilinear_up4(z)
-    z = ctx.conv_cat("Convs1", (z, res2), relu=True)
+    z = ctx.conv1x1_comb("Convs1", [(z, "bilinear", 4),
+                                    (res2, "id", 1)], relu=True)
     z = _eblock(ctx, "Decoder2", z, num_res)
 
     z = ctx.conv("feat4", z, relu=True, stride=2)
-    z = _bilinear_up4(z)
-    z = ctx.conv_cat("Convs2", (z, res1), relu=True)
+    z = ctx.conv1x1_comb("Convs2", [(z, "bilinear", 4),
+                                    (res1, "id", 1)], relu=True)
     feats = _eblock(ctx, "Decoder3", z, num_res)
     im = ctx.conv("feat5", feats, relu=False)
 

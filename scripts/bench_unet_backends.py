@@ -93,6 +93,10 @@ def main():
     if "pallas_f32" not in skip:
         variants["pallas_f32"] = lambda: UP.unet_pallas_apply(
             variables, *pyr32)["im_out"]
+    if "pallas_seg" not in skip:
+        # production path: encoder/decoder executables + s2d strided
+        variants["pallas_seg"] = lambda: UP.unet_pallas_apply_seg(
+            variables, *pyr32)["im_out"]
     if "pallas_bf16" not in skip:
         variants["pallas_bf16"] = lambda: UP.unet_pallas_apply(
             variables, *pyr32, dtype_name="bfloat16")["im_out"]
