@@ -64,7 +64,7 @@ def main():
         xyz = rng.uniform(-10, 10, size=(n, 3)).astype(np.float32)
         xyz[:, 2] -= 25.0
         xyz_d = jax.device_put(jnp.asarray(xyz), dev)
-        for method in ("sort", "sort2", "sort1q", "scatter"):
+        for method in ("sort", "sort2", "sort1q", "scatter", "scatter1"):
             f = jax.jit(lambda p, m, meth=method: R.rasterize_batch(
                 p, m, h, w, 0, meth))
             try:

@@ -266,3 +266,75 @@ def test_sort1q_matches_sort_up_to_depth_quantization(rng):
     assert np.mean(exact) > 0.95
     np.testing.assert_array_equal(i_q[exact & (i_q >= 0)],
                                   i_so[exact & (i_q >= 0)])
+
+def test_scatter1_matches_sort_up_to_depth_quantization(rng):
+    w, h = 64, 48
+    xyz, m = _random_scene(rng, 800, w, h)
+    i_so, d_so = jax.jit(R.rasterize, static_argnums=(2, 3, 4, 5))(
+        xyz, m, h, w, 0, "sort")
+    i_s1, d_s1 = jax.jit(R.rasterize, static_argnums=(2, 3, 4, 5))(
+        xyz, m, h, w, 0, "scatter1")
+    i_so, d_so = np.asarray(i_so), np.asarray(d_so)
+    i_s1, d_s1 = np.asarray(i_s1), np.asarray(d_s1)
+    # same pixels covered
+    np.testing.assert_array_equal(i_s1 < 0, i_so < 0)
+    # 800 ids -> idb=10 -> 21 depth bits; the winner's (exact,
+    # re-gathered) depth is within one bin of the true minimum
+    assert np.all(np.abs(d_s1 - d_so) <= 1.0 / (1 << 21) + 1e-7)
+    # where no quantization tie occurred the winner agrees exactly
+    exact = np.abs(d_s1 - d_so) < 1e-9
+    assert np.mean(exact) > 0.99
+    np.testing.assert_array_equal(i_s1[exact & (i_s1 >= 0)],
+                                  i_so[exact & (i_s1 >= 0)])
+
+
+def test_scatter1_exact_when_depths_separated(rng):
+    # distinct well-separated depths (>> one bin) -> bit-exact parity
+    # with the exact scatter z-buffer, including empties and ties
+    w, h = 32, 24
+    n = 500
+    xyz, m = _random_scene(rng, n, w, h)
+    i_sc, d_sc = jax.jit(R.rasterize, static_argnums=(2, 3, 4, 5))(
+        xyz, m, h, w, 0, "scatter")
+    i_s1, d_s1 = jax.jit(R.rasterize, static_argnums=(2, 3, 4, 5))(
+        xyz, m, h, w, 0, "scatter1")
+    # _random_scene draws continuous depths; at n=500 the bin is 2^-22
+    # of [0,1] so collisions are measure-zero at f32 resolution
+    np.testing.assert_array_equal(np.asarray(i_s1), np.asarray(i_sc))
+    np.testing.assert_allclose(np.asarray(d_s1), np.asarray(d_sc),
+                               atol=1e-7)
+
+
+def test_scatter1_splat_matches_sort(rng):
+    w, h = 32, 32
+    xyz, m = _random_scene(rng, 200, w, h)
+    i_so, d_so = R.rasterize(xyz, m, h, w, point_radius=1, method="sort")
+    i_s1, d_s1 = R.rasterize(xyz, m, h, w, point_radius=1,
+                             method="scatter1")
+    np.testing.assert_array_equal(np.asarray(i_so), np.asarray(i_s1))
+    np.testing.assert_allclose(np.asarray(d_so), np.asarray(d_s1),
+                               atol=1e-7)
+
+
+def test_scatter1_raises_without_depth_bits():
+    import pytest as _pytest
+    pix = jnp.zeros((1 << 24,), jnp.int32)
+    depth = jnp.zeros((1 << 24,), jnp.float32)
+    ids = jnp.zeros((1 << 24,), jnp.int32)
+    with _pytest.raises(ValueError, match="scatter1"):
+        R._zbuffer_scatter1(pix, depth, ids, 16, depth, 1 << 24)
+
+
+def test_scatter1_pooled_pyramid(rng):
+    w, h = 64, 32
+    xyz, m = _random_scene(rng, 500, w, h)
+    pooled_so = R.rasterize_pyramid_pooled(xyz, m[None], (h, w),
+                                           num_scales=4, method="sort")
+    pooled_s1 = R.rasterize_pyramid_pooled(xyz, m[None], (h, w),
+                                           num_scales=4,
+                                           method="scatter1")
+    for lvl, ((i1, d1), (i2, d2)) in enumerate(zip(pooled_so, pooled_s1)):
+        np.testing.assert_array_equal(
+            np.asarray(i1), np.asarray(i2), err_msg=f"level {lvl}")
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                                   atol=1e-7, err_msg=f"level {lvl}")
