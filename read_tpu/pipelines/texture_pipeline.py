@@ -84,6 +84,13 @@ class PipelineConfig:
     # models/unet.py:_im2col_conv). Threaded through the CLI, the
     # checkpoint config, and NeuralRenderer.
     conv_impl: str = "xla"
+    # z-buffer algorithm (ops/rasterize.py): 'sort' (3-key lexicographic
+    # sort; exact reference tie semantics — min depth, smallest id) or
+    # 'scatter1' (ONE packed scatter-min; ~25% faster at 1M points;
+    # ties within a 2^-11 depth quantization bin break by id). Training
+    # defaults to 'sort'; 'scatter1' is the inference production path
+    # (bench.py) and is quality-validated in RESULTS_r03.md.
+    raster_method: str = "sort"
     # remat UNet encoder/decoder blocks in the train step (HBM for
     # recompute; the 10M-at-native-res fit needs it)
     remat: bool = False
@@ -177,6 +184,7 @@ def config_from_dict(d: dict, crop_size=None,
         dtype=jnp.bfloat16 if d.get("dtype") == "bfloat16"
         else jnp.float32,
         conv_impl=d.get("conv_impl", "xla") or "xla",
+        raster_method=d.get("raster_method", "sort") or "sort",
         remat=bool(d.get("remat", False)),
     )
 
@@ -328,7 +336,8 @@ def _build_pyramid(cfg: PipelineConfig, texture, xyz, total_m,
         return pyr
     levels = R.rasterize_pyramid_pooled(
         xyz, total_m, (h * ss, w * ss), num_scales=cfg.num_scales,
-        point_radius=cfg.point_radius, ndc_jitter=ndc_jitter,
+        point_radius=cfg.point_radius, method=cfg.raster_method,
+        ndc_jitter=ndc_jitter,
         point_sizes=point_sizes,
         relative_size=cfg.relative_point_size,
         min_point_size=cfg.min_point_size)

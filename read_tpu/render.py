@@ -78,7 +78,8 @@ class NeuralRenderer:
                  supersampling: Optional[int] = None,
                  temporal_average: bool = False,
                  dtype: Optional[str] = None,
-                 conv_impl: Optional[str] = None):
+                 conv_impl: Optional[str] = None,
+                 raster_method: Optional[str] = None):
         import jax
         import jax.numpy as jnp
 
@@ -96,6 +97,8 @@ class NeuralRenderer:
             self.config["dtype"] = dtype
         if conv_impl is not None:
             self.config["conv_impl"] = conv_impl
+        if raster_method is not None:
+            self.config["raster_method"] = raster_method
         if supersampling is not None:
             self.config["supersampling"] = supersampling
 
@@ -303,6 +306,12 @@ def main(argv=None):
     p.add_argument("--dtype", default=None,
                    choices=["float32", "bfloat16"],
                    help="override the checkpoint's compute dtype")
+    p.add_argument("--raster", dest="raster_method", default=None,
+                   choices=["sort", "scatter1", "scatter", "sort1q"],
+                   help="override the checkpoint's z-buffer algorithm "
+                        "('scatter1' = one packed scatter-min, ~25%% "
+                        "faster raster; quality delta recorded in "
+                        "RESULTS_r03.md)")
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--fps-report", action="store_true")
     args = p.parse_args(argv)
@@ -315,7 +324,8 @@ def main(argv=None):
         viewport = (int(w), int(h))
     r = NeuralRenderer(args.scene, args.ckpt, viewport=viewport,
                        supersampling=args.supersampling,
-                       conv_impl=args.conv_impl, dtype=args.dtype)
+                       conv_impl=args.conv_impl, dtype=args.dtype,
+                       raster_method=args.raster_method)
 
     if args.trajectory:
         poses = np.loadtxt(args.trajectory).reshape(-1, 4, 4)

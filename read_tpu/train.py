@@ -130,6 +130,14 @@ def build_argparser() -> argparse.ArgumentParser:
                         "'im2col' patch-matmul (the bf16-compilable "
                         "route; models/unet.py). Recorded in checkpoints "
                         "and restored at inference.")
+    p.add_argument("--raster-method", dest="raster_method", type=str,
+                   default="sort",
+                   choices=["sort", "scatter1", "scatter", "sort1q"],
+                   help="z-buffer algorithm (ops/rasterize.py): 'sort' "
+                        "exact reference tie semantics; 'scatter1' one "
+                        "packed scatter-min, ~25%% faster at 1M points "
+                        "(the bench.py inference path). Recorded in "
+                        "checkpoints and restored at inference.")
     p.add_argument("--max-steps-per-epoch", dest="max_steps_per_epoch",
                    type=int, default=None)
     p.add_argument("--headless-platform", dest="headless_platform",

@@ -84,3 +84,24 @@ def test_multiscale_inputs_grouping(rng):
     assert len(pyr) == 4
     assert pyr[0].shape == (1, 32, 32, 3)
     assert pyr[3].shape == (1, 4, 4, 3)
+
+
+def test_raster_method_threads_through_pyramid(rng):
+    """cfg.raster_method drives _build_pyramid; scatter1 matches sort
+    exactly when depths are separated by more than a quantization bin
+    (ops/rasterize._zbuffer_scatter1 semantics)."""
+    n, h, w = 500, 32, 32
+    xyz, _, ms, _ = _scene(rng, n=n, h=h, w=w, b=1)
+    # spread depths so no two points share a 2^-db bin
+    xyz[:, 2] = -4.0 - 8.0 * np.arange(n) / n
+    tex = jnp.asarray(rng.normal(size=(n, 8)).astype(np.float32))
+    m = jnp.asarray(ms)
+    out = {}
+    for method in ("sort", "scatter1"):
+        cfg = TP.PipelineConfig(crop_size=(h, w), raster_method=method)
+        pyr = TP._build_pyramid(cfg, tex, jnp.asarray(xyz), m)
+        out[method] = pyr
+    assert TP.config_from_dict(
+        {"raster_method": "scatter1"}).raster_method == "scatter1"
+    for a, b in zip(out["sort"], out["scatter1"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

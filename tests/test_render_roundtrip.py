@@ -66,6 +66,7 @@ CASES = {
                      "colors_ds3, uv_1d_p1_ds4, colors_ds4"],
     "im2col": ["--conv-impl", "im2col"],
     "use_mesh": ["--use-mesh", "--texture-size", "32"],
+    "scatter1": ["--raster-method", "scatter1"],
 }
 
 
@@ -107,6 +108,8 @@ def test_roundtrip(scene_dir, tmp_path, case):
         assert r.net.conv_impl == "im2col"
     if case == "use_mesh":
         assert r.cfg.use_mesh
+    if case == "scatter1":
+        assert r.cfg.raster_method == "scatter1"
 
     pose = np.eye(4)
     img = r.infer(pose)
