@@ -62,6 +62,11 @@ def main():
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / ASSUMED_REFERENCE_FPS, 3),
+        # vs_baseline denominator: the reference publishes NO fps number
+        # (BASELINE.md); 30 fps is the assumed 1080 Ti viewer rate.
+        # Sensitivity: at 20/60 fps assumed, vs_baseline scales by
+        # 1.5x / 0.5x respectively.
+        "assumed_baseline_fps": ASSUMED_REFERENCE_FPS,
     }))
 
 

@@ -192,9 +192,12 @@ def vgg_loss(params: list, pred: jax.Array, target: jax.Array,
 
 def vgg_loss_mix(params_pytorch: list, params_caffe: list,
                  pred: jax.Array, target: jax.Array,
-                 weight: float = 0.5) -> jax.Array:
+                 weight: float = 0.5,
+                 per_item: bool = False) -> jax.Array:
     """Weighted blend of pytorch- and caffe-normalized VGG losses
-    (``VGGLossMix``, ``vgg_loss.py:114-122``)."""
-    return (vgg_loss(params_pytorch, pred, target, "pytorch") * weight
-            + vgg_loss(params_caffe, pred, target, "caffe")
-            * (1.0 - weight))
+    (``VGGLossMix``, ``vgg_loss.py:114-122``). Reached via
+    ``--criterion vgg_mix`` (pipelines/texture_pipeline._losses)."""
+    return (vgg_loss(params_pytorch, pred, target, "pytorch",
+                     per_item=per_item) * weight
+            + vgg_loss(params_caffe, pred, target, "caffe",
+                       per_item=per_item) * (1.0 - weight))

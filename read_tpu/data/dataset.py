@@ -73,14 +73,18 @@ def _any2float(img: np.ndarray) -> np.ndarray:
 
 
 def _rnd_crop_center_from_mask(mask: np.ndarray,
-                               rng: np.random.Generator):
-    """Pick a random foreground pixel as crop center (``dynamic.py:102-107``
-    behavior)."""
-    ys, xs = np.nonzero(mask > 0)
+                               rng: np.random.Generator,
+                               factor: int = 8):
+    """Pick a random foreground pixel as crop center, sampling the mask
+    at a ``factor``-downsampled grid (``get_rnd_crop_center_v1``,
+    ``dynamic.py:102-107``). Returns ``(x, y)`` source-pixel coords, or
+    None for an empty mask."""
+    down = mask[::factor, ::factor]
+    ys, xs = np.nonzero(down > 0)
     if len(ys) == 0:
         return None
     i = rng.integers(len(ys))
-    return float(xs[i]), float(ys[i])
+    return float(xs[i] * factor), float(ys[i] * factor)
 
 
 class ViewDataset:
@@ -143,15 +147,32 @@ class ViewDataset:
         return self.scene_data["pointcloud"]["xyz"].shape[0]
 
     # -- crop homographies -----------------------------------------------
-    def random_image_crop(self) -> np.ndarray:
-        """Zoom+shift homography (``src:349-362``)."""
+    def random_image_crop(self,
+                          mask: Optional[np.ndarray] = None
+                          ) -> np.ndarray:
+        """Zoom+shift homography (``src:349-362``).
+
+        With ``crop_by_mask`` and a non-empty ``mask``, the shift is
+        chosen so a random mask-foreground pixel lands at the crop
+        center (clamped to keep the crop inside the image) instead of a
+        uniform draw — the root tree's mask-centered crop sampling
+        (``dynamic.py:102-107,210-212``)."""
         H = np.eye(3)
         min_zoom_xy = self.tgt_sh / self.src_sh
         z = max(min_zoom_xy[0], min_zoom_xy[1])
         if self.random_zoom:
             z = self.rng.uniform(max(self.random_zoom[0], z),
                                  self.random_zoom[1])
-        if self.random_shift:
+        cnt = None
+        if self.crop_by_mask and mask is not None:
+            cnt = _rnd_crop_center_from_mask(mask, self.rng)
+        if cnt is not None:
+            # shift so z*cnt + t == tgt_sh/2; clamp into the valid range
+            max_shift = np.maximum(self.src_sh * z - self.tgt_sh, 0)
+            t = self.tgt_sh * 0.5 - z * np.asarray(cnt)
+            H[0, 2] = float(np.clip(t[0], -max_shift[0], 0))
+            H[1, 2] = float(np.clip(t[1], -max_shift[1], 0))
+        elif self.random_shift:
             max_shift = self.src_sh * z - self.tgt_sh
             H[0, 2] = -self.rng.uniform(0, max(max_shift[0], 0))
             H[1, 2] = -self.rng.uniform(0, max(max_shift[1], 0))
@@ -159,10 +180,12 @@ class ViewDataset:
         return H
 
     def get_transform_crop(self, inner_batch: Optional[int] = None,
-                           inner_sample: Optional[int] = None) -> list:
+                           inner_sample: Optional[int] = None,
+                           mask: Optional[np.ndarray] = None) -> list:
         """Farthest-center crop selection (``src:322-347``): per crop, draw
         ``inner_sample`` candidates and keep the one farthest from already
-        chosen crop centers."""
+        chosen crop centers. ``mask`` activates mask-centered candidates
+        when the dataset was built with ``crop_by_mask``."""
         inner_batch = inner_batch or self.inner_batch
         inner_sample = inner_sample or self.inner_sample
         c = self.tgt_sh * 0.5
@@ -170,7 +193,7 @@ class ViewDataset:
         for _ in range(inner_batch):
             best, best_c, best_dis = None, None, -1.0
             for j in range(inner_sample):
-                H = self.random_image_crop()
+                H = self.random_image_crop(mask)
                 Hi = np.linalg.inv(H)
                 c_trans = np.array([Hi[0, 0] * c[0] + Hi[0, 2],
                                     Hi[1, 1] * c[1] + Hi[1, 2]])
@@ -220,7 +243,7 @@ class ViewDataset:
 
         w, h = int(self.tgt_sh[0]), int(self.tgt_sh[1])
         if self.phase == "train":
-            Hs = self.get_transform_crop()
+            Hs = self.get_transform_crop(mask=mask)
             Ks = [H @ self.K_src for H in Hs]
             targets = np.stack([self._warp(target, H) for H in Hs])
             if mask is None:

@@ -1,7 +1,7 @@
 """Packed-lane Pallas TPU kernels for the UNet's gated convolutions.
 
 This is the production ``conv_impl='pallas'`` inference backend (the
-round-2 row-band kernels in ``gated_conv_pallas.py`` are its
+round-2 row-band kernels (now ``scripts/gated_conv_pallas_r2.py``) are its
 predecessor; their VMEM plan padded C=32 activations 4x because channel
 -minor blocks occupy only 32 of 128 lanes).
 

@@ -38,6 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
+    "RASTER_METHODS",
     "project_points",
     "rasterize",
     "rasterize_batch",
@@ -49,6 +50,18 @@ __all__ = [
 
 # Sentinel depth for invalid points; any real NDC depth lies in [0, 1].
 _FAR = jnp.float32(2.0)
+
+# Every z-buffer algorithm rasterize() accepts. Checked loudly: an
+# unknown string must not silently fall through to a different
+# tie-break semantics (config files bypass the CLI argparse choices).
+RASTER_METHODS = ("sort", "sort2", "sort1q", "scatter", "scatter1")
+
+
+def _check_method(method: str) -> None:
+    if method not in RASTER_METHODS:
+        raise ValueError(
+            f"unknown raster method {method!r}; expected one of "
+            f"{RASTER_METHODS}")
 
 
 def project_points(xyz: jax.Array, total_m: jax.Array,
@@ -240,7 +253,12 @@ def _zbuffer_scatter1(pix: jax.Array, depth: jax.Array, ids: jax.Array,
         raise ValueError(f"scatter1: only {db} depth bits for "
                          f"{n_ids} ids; use method='sort'")
     qmax = (1 << db) - 1
-    q = jnp.clip(depth * qmax, 0, qmax).astype(jnp.int32)
+    # clip to qmax-1, not qmax: when n_ids is an exact power of two the
+    # id field can be all-ones, and q == qmax would make the packed key
+    # equal the INT32_MAX empty sentinel — a covered far-plane pixel
+    # would read as empty. Merging the last two depth bins is harmless
+    # (depth == 1.0 only at the far clip plane).
+    q = jnp.clip(depth * qmax, 0, qmax - 1).astype(jnp.int32)
     key = jnp.where(pix < n_pixels, (q << idb) | ids,
                     jnp.iinfo(jnp.int32).max)
     buf = jnp.full((n_pixels + 1,), jnp.iinfo(jnp.int32).max, jnp.int32
@@ -292,6 +310,7 @@ def rasterize(xyz: jax.Array, total_m: jax.Array, h: int, w: int,
     (``READ/gl/programs.py:127-128,352-357``; build offsets with
     ``ops.augment.perturb_pixels``).
     """
+    _check_method(method)
     varying = point_sizes is not None or relative_size
     ndc, valid, clip_z = project_points(xyz, total_m, return_clip_z=True)
     if ndc_jitter is not None:
@@ -380,6 +399,7 @@ def rasterize_batch(xyz: jax.Array, total_m: jax.Array, h: int, w: int,
     ids with ``view * h * w`` — a bitonic sort is strongly sublinear in
     practice on TPU, so one BxN sort beats B separate N sorts.
     """
+    _check_method(method)
     varying = point_sizes is not None or relative_size
     if varying:
         f = functools.partial(

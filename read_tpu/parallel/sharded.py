@@ -60,14 +60,17 @@ def make_mesh(n_data: int, n_points: int,
 
 def _local_raster_merge(xyz_local: jax.Array, id_offset: jax.Array,
                         total_m: jax.Array, h: int, w: int,
-                        point_radius: int, axis: str):
+                        point_radius: int, axis: str,
+                        method: str = "sort"):
     """Local z-buffer with global ids + cross-shard lexicographic merge.
 
     Tie-break parity with the single-chip path: min depth first, then the
-    smallest global point id.
+    smallest global point id. ``method`` selects the per-shard z-buffer
+    algorithm (the config's ``raster_method``; the cross-shard merge is
+    algorithm-independent).
     """
     idx_l, dep_l = R.rasterize_batch(xyz_local, total_m, h, w,
-                                     point_radius)
+                                     point_radius, method=method)
     idx_g = jnp.where(idx_l >= 0, idx_l + id_offset, -1)
     dep_inf = jnp.where(idx_l >= 0, dep_l, jnp.float32(np.inf))
     dep_min = jax.lax.pmin(dep_inf, axis)
@@ -81,12 +84,12 @@ def _local_raster_merge(xyz_local: jax.Array, id_offset: jax.Array,
 def sharded_rasterize_pyramid(xyz_local: jax.Array, id_offset: jax.Array,
                               total_m: jax.Array, target_shape,
                               num_scales: int = 4, point_radius: int = 0,
-                              axis: str = "points"):
+                              axis: str = "points", method: str = "sort"):
     """shard_map body: merged full-res buffer + exact 2x2 pooled pyramid
     (one ICI merge total — coarse scales pool the merged buffer)."""
     h0, w0 = target_shape
     idx, dep = _local_raster_merge(xyz_local, id_offset, total_m, h0, w0,
-                                   point_radius, axis)
+                                   point_radius, axis, method)
     out = [(idx, dep)]
     for _ in range(1, num_scales):
         idx, dep = R._pool2x2_zbuffer(idx, dep)
@@ -314,7 +317,8 @@ def make_sharded_train_step(net, cfg: TP.PipelineConfig, vgg_params,
                     batch, pc_local):
         levels = sharded_rasterize_pyramid(
             xyz_local, id_offset, batch["total_m"], (h, w),
-            cfg.num_scales, cfg.point_radius)
+            cfg.num_scales, cfg.point_radius,
+            method=cfg.raster_method)
         pyr = []
         for lvl, (ix, dep) in enumerate(levels):
             x = sharded_gather(tex_local, id_offset, ix,

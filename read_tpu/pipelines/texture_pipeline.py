@@ -56,6 +56,11 @@ class PipelineConfig:
     seg_ratio: float = 3e2        # src/train.py:548
     vgg_ratio: float = 1.0
     vgg_partialconv: bool = False  # masked VGG (vgg_loss.py:58-62,93-96)
+    # perceptual-loss normalization backend (vgg_loss.py:26-48,87-88):
+    # 'caffe' (reference default; BGR-mean quirk), 'pytorch'
+    # (--criterion vgg_pytorch), or 'mix' (VGGLossMix, vgg_loss.py:114-122
+    # — a 0.5/0.5 blend of both normalizations; --criterion vgg_mix).
+    vgg_backend: str = "caffe"
     reg_weight: float = 0.0
     texture_activation: str = "none"
     use_mask: bool = False
@@ -87,7 +92,9 @@ class PipelineConfig:
     # z-buffer algorithm (ops/rasterize.py): 'sort' (3-key lexicographic
     # sort; exact reference tie semantics — min depth, smallest id) or
     # 'scatter1' (ONE packed scatter-min; ~25% faster at 1M points;
-    # ties within a 2^-11 depth quantization bin break by id). Training
+    # ties within one depth-quantization bin break by id — the bin is
+    # 2^-(31 - ceil(log2 N)) of the [0,1] NDC depth range, e.g. 2^-11
+    # at ~1M points, finer at smaller N; >2^23 points raises). Training
     # defaults to 'sort'; 'scatter1' is the inference production path
     # (bench.py) and is quality-validated in RESULTS_r03.md.
     raster_method: str = "sort"
@@ -147,6 +154,13 @@ def config_from_dict(d: dict, crop_size=None,
     a checkpoint reconstructs the exact training pipeline)."""
     tda = train_dataset_args or {}
     criterion = d.get("criterion", "vgg")
+    known_criteria = ("vgg", "vgg_pytorch", "vgg_mix", "vgg_partial",
+                      "huber_only")
+    if criterion not in known_criteria:
+        raise ValueError(f"unknown criterion {criterion!r}; expected one "
+                         f"of {known_criteria}")
+    raster_method = d.get("raster_method", "sort") or "sort"
+    R._check_method(raster_method)  # config files bypass argparse choices
     point_radius, relative_ps, extra_modes = parse_format_geometry(
         d.get("input_format",
               "uv_1d_p1, uv_1d_p1_ds1, uv_1d_p1_ds2, uv_1d_p1_ds3, "
@@ -172,6 +186,8 @@ def config_from_dict(d: dict, crop_size=None,
         texture_lr=float(d.get("texture_lr", 1e-1)),
         vgg_ratio=0.0 if criterion == "huber_only" else 1.0,
         vgg_partialconv=criterion == "vgg_partial",
+        vgg_backend={"vgg_pytorch": "pytorch",
+                     "vgg_mix": "mix"}.get(criterion, "caffe"),
         huber_ratio=1e4 if criterion != "huber_only" else 1.0,
         reg_weight=float(d.get("reg_weight", 0.0) or 0.0),
         texture_activation=d.get("texture_activation", "none"),
@@ -184,7 +200,7 @@ def config_from_dict(d: dict, crop_size=None,
         dtype=jnp.bfloat16 if d.get("dtype") == "bfloat16"
         else jnp.float32,
         conv_impl=d.get("conv_impl", "xla") or "xla",
-        raster_method=d.get("raster_method", "sort") or "sort",
+        raster_method=raster_method,
         remat=bool(d.get("remat", False)),
     )
 
@@ -415,11 +431,23 @@ def _losses(cfg: PipelineConfig, vgg_params, out: Dict, batch: Dict,
         # remat: VGG activations (13 taps x pred+target) dominate HBM in
         # the backward; recomputing them costs ~one extra VGG forward and
         # saves ~4GB at B=8 crops of 256^2.
-        vgg = jax.checkpoint(
-            lambda p, t: V.vgg_loss(
-                vgg_params, p, t,
-                partialconv=cfg.vgg_partialconv,
-                per_item=per_item))(im_l, target)
+        if cfg.vgg_backend == "mix":
+            # VGGLossMix (vgg_loss.py:114-122): 0.5/0.5 blend of the two
+            # normalizations. With one weight set available the same
+            # params serve both branches (the reference loads separate
+            # pytorch/caffe weight files; pass a (pytorch, caffe) tuple
+            # of param lists as vgg_params to reproduce that exactly).
+            pp, pc = (vgg_params if isinstance(vgg_params, tuple)
+                      else (vgg_params, vgg_params))
+            vgg = jax.checkpoint(
+                lambda p, t: V.vgg_loss_mix(
+                    pp, pc, p, t, per_item=per_item))(im_l, target)
+        else:
+            vgg = jax.checkpoint(
+                lambda p, t: V.vgg_loss(
+                    vgg_params, p, t, backend=cfg.vgg_backend,
+                    partialconv=cfg.vgg_partialconv,
+                    per_item=per_item))(im_l, target)
         loss = loss + cfg.vgg_ratio * vgg
         metrics["vgg_loss"] = vgg
     if cfg.num_classes is not None and "seg_out" in out \
@@ -445,7 +473,7 @@ def _losses(cfg: PipelineConfig, vgg_params, out: Dict, batch: Dict,
 
 
 def make_train_step(net: UNet, cfg: PipelineConfig, vgg_params,
-                    donate: bool = False):
+                    donate: bool = False, freeze_net: bool = False):
     """Build the fused jitted train step.
 
     batch: ``{'total_m': [B,4,4], 'target': [B,h,w,3]`` (+ optional
@@ -457,6 +485,16 @@ def make_train_step(net: UNet, cfg: PipelineConfig, vgg_params,
     state (halves peak HBM for the big texture/optimizer tables — the
     train CLI uses it). The caller must then never touch the passed-in
     state again; the default is safe-but-copying.
+
+    ``freeze_net=True`` is the texture-only fitting mode (reference
+    ``train.py:515-527``: freeze the net after a checkpoint load and fit
+    a NEW scene's descriptors against it — the precondition for
+    stitching independently fitted scenes). Gradients are computed for
+    the texture only (the net backward is never built), and the net is
+    frozen INCLUDING BatchNorm running stats: the forward runs in eval
+    mode so the texture optimizes exactly what inference renders. (The
+    reference keeps train-mode BN while frozen, which lets a new scene's
+    statistics drift a net other scenes share — deviation by design.)
     """
     net_opt, tex_opt = _make_optimizers(cfg)
 
@@ -477,7 +515,7 @@ def make_train_step(net: UNet, cfg: PipelineConfig, vgg_params,
         def loss_fn(params, texture):
             out, new_bs, _ = _forward(net, cfg, params, state.batch_stats,
                                       texture, xyz, batch["total_m"],
-                                      train=True,
+                                      train=not freeze_net,
                                       uv2d=batch.get("uv2d"),
                                       ndc_jitter=ndc_jitter,
                                       point_sizes=batch.get("point_sizes"),
@@ -489,6 +527,21 @@ def make_train_step(net: UNet, cfg: PipelineConfig, vgg_params,
                 loss = loss + T.point_texture_reg_loss(texture,
                                                        cfg.reg_weight)
             return loss, (metrics, new_bs)
+
+        if freeze_net:
+            (loss, (metrics, _bs)), g_tex = jax.value_and_grad(
+                lambda t: loss_fn(state.params, t), has_aux=True)(
+                    state.texture)
+            g_tex = jax.tree.map(
+                functools.partial(_guard_grad, clip=cfg.grad_clip), g_tex)
+            up_tex, tex_opt_state = tex_opt.update(g_tex, state.tex_opt,
+                                                   state.texture)
+            lr_tex = cfg.texture_lr * state.lr_scale
+            texture = jax.tree.map(lambda t, u: t + lr_tex * u,
+                                   state.texture, up_tex)
+            metrics["loss"] = loss
+            return state.replace(step=state.step + 1, texture=texture,
+                                 tex_opt=tex_opt_state), metrics
 
         (loss, (metrics, new_bs)), grads = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(

@@ -210,8 +210,11 @@ class NeuralRenderer:
         else:
             self._net_fn = jax.jit(_apply_net)
             self._infer_fn = jax.jit(_infer)
+        # raw render-mode raster follows the same z-buffer algorithm as
+        # the neural pyramid (--raster-method override / ckpt config)
         self._raster = jax.jit(
-            lambda xyz, m: R.rasterize_batch(xyz, m, h, w))
+            lambda xyz, m: R.rasterize_batch(xyz, m, h, w,
+                                             method=cfg.raster_method))
 
     def total_matrix(self, view_matrix: np.ndarray,
                      K: Optional[np.ndarray] = None) -> np.ndarray:
@@ -306,12 +309,15 @@ def main(argv=None):
     p.add_argument("--dtype", default=None,
                    choices=["float32", "bfloat16"],
                    help="override the checkpoint's compute dtype")
-    p.add_argument("--raster", dest="raster_method", default=None,
+    p.add_argument("--raster-method", "--raster", dest="raster_method",
+                   default=None,
                    choices=["sort", "scatter1", "scatter", "sort1q"],
                    help="override the checkpoint's z-buffer algorithm "
+                        "for the neural pyramid AND raw render modes "
                         "('scatter1' = one packed scatter-min, ~25%% "
                         "faster raster; quality delta recorded in "
-                        "RESULTS_r03.md)")
+                        "RESULTS_r03.md). Flag name matches train.py; "
+                        "--raster kept as an alias.")
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--fps-report", action="store_true")
     args = p.parse_args(argv)

@@ -79,9 +79,14 @@ def build_argparser() -> argparse.ArgumentParser:
                            "uv_1d_p1_ds3, uv_1d_p1_ds4")
     p.add_argument("--splitter", type=str, default="split_by_step")
     p.add_argument("--criterion", type=str, default="vgg",
-                   choices=["vgg", "vgg_pytorch", "vgg_partial",
-                            "huber_only"],
-                   help="vgg_partial = VGGLoss(partialconv=True): the "
+                   choices=["vgg", "vgg_pytorch", "vgg_mix",
+                            "vgg_partial", "huber_only"],
+                   help="vgg = caffe-normalized VGG loss (reference "
+                        "default); vgg_pytorch switches the input "
+                        "normalization to torchvision semantics "
+                        "(vgg_loss.py:26-30,87-88); vgg_mix = VGGLossMix "
+                        "0.5/0.5 blend (vgg_loss.py:114-122); "
+                        "vgg_partial = VGGLoss(partialconv=True): the "
                         "masked perceptual loss (vgg_loss.py:58-62)")
     p.add_argument("--vgg-weights", dest="vgg_weights", type=str,
                    default=None)
@@ -107,7 +112,15 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--eval", action="store_true")
     p.add_argument("--eval-all", dest="eval_all", action="store_true")
     p.add_argument("--eval-dir", dest="eval_dir", type=str, default=None)
-    p.add_argument("--freeze-net", dest="freeze_net", action="store_true")
+    p.add_argument("--freeze-net", dest="freeze_net", action="store_true",
+                   help="texture-only fitting: freeze the (loaded) net "
+                        "and train only the scene descriptors — the "
+                        "workflow for fitting NEW scenes against a "
+                        "shared pretrained net before stitching "
+                        "(reference train.py:515-527). Checkpoints "
+                        "still embed the frozen net so render.py stays "
+                        "self-configuring (the reference skips the net "
+                        "file instead, src pipeline.py:63-64).")
     p.add_argument("--plateau-patience", dest="plateau_patience",
                    type=int, default=5)
     p.add_argument("--plateau-factor", dest="plateau_factor", type=float,
@@ -529,8 +542,16 @@ def main(argv=None):
             print(f"resumed {ds.name} from {cand} "
                   f"(step {int(restored.step)})")
 
+    if args.freeze_net and not (args.net_ckpt or args.resume):
+        print("WARNING: --freeze-net without --net-ckpt/--resume freezes "
+              "RANDOM net weights; the reference freezes after a "
+              "checkpoint load (train.py:515-527)")
     if mesh is not None:
         from read_tpu.parallel import sharded as SH
+        if args.freeze_net:
+            raise SystemExit("--freeze-net is not supported with --mesh "
+                             "(texture-only fitting is a single-chip "
+                             "workflow; drop one of the flags)")
         # shard every scene state + point cloud over the mesh; the
         # texture (+ its RMSprop state) pads N to the points-axis size
         for ds in ds_train:
@@ -542,7 +563,8 @@ def main(argv=None):
         # (it rebinds `st` every step and carries the net portion across
         # scene switches), so donating the big texture/optimizer buffers
         # halves peak HBM.
-        train_step = TP.make_train_step(net, cfg, vgg_params, donate=True)
+        train_step = TP.make_train_step(net, cfg, vgg_params, donate=True,
+                                        freeze_net=args.freeze_net)
     eval_step = TP.make_eval_step(net, cfg, vgg_params)
     sched = TP.ReduceLROnPlateau(factor=args.plateau_factor,
                                  patience=args.plateau_patience)

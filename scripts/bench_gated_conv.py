@@ -34,7 +34,7 @@ def main():
     import jax
     import jax.numpy as jnp
     from read_tpu.models.unet import BasicConv
-    from read_tpu.ops import gated_conv_pallas as G
+    import gated_conv_pallas_r2 as G  # superseded round-2 kernel, kept with its bench
 
     dev = jax.devices()[0]
     shapes = [
