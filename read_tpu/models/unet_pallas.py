@@ -111,14 +111,23 @@ def _s2d_weights(w: jax.Array) -> jax.Array:
 
 
 class _Ctx:
-    """Carries variables + options through the forward."""
+    """Carries variables + options through the forward.
 
-    def __init__(self, params, stats, dtype, interpret, s2d=False):
+    ``frames`` > 1 is the TPU-native batch: frames stack along H in the
+    channel-major layout ([C, B*h, W]), so every kernel runs ONE longer
+    grid instead of B dispatches (vmap over the packed-lane kernels
+    measured slower AND fails Mosaic lowering for SMEM-blocked kernels).
+    The 3x3 kernels mask their dy halos at frame boundaries; resamples
+    and 1x1 matmuls are frame-oblivious in this layout."""
+
+    def __init__(self, params, stats, dtype, interpret, s2d=False,
+                 frames=1):
         self.params = params
         self.stats = stats
         self.dtype = dtype
         self.interpret = interpret
         self.s2d = s2d  # explicit opt-in (seg path); OR'd with the env knob
+        self.frames = frames
 
     def conv(self, name: str, x: jax.Array, relu: bool,
              stride: int = 1,
@@ -140,7 +149,7 @@ class _Ctx:
         if stride == 1 and k == 3:
             out = GP.gated_conv3x3_chw(
                 x.reshape(cin, h * wd), w, b, scale, offset, res2d,
-                w_img=wd, relu=relu, gated=True,
+                w_img=wd, relu=relu, gated=True, frames=self.frames,
                 interpret=self.interpret)
             return out.reshape(-1, h, wd)
         if stride == 1 and k == 1:
@@ -148,11 +157,14 @@ class _Ctx:
                 x.reshape(cin, h * wd), w, b, scale, offset, res2d,
                 relu=relu, gated=True, interpret=self.interpret)
             return out.reshape(-1, h, wd)
-        if (stride == 2 and k in (3, 4) and h % 2 == 0 and wd % 2 == 0
+        hf = h // self.frames  # rows per frame (stacked along H)
+        if (stride == 2 and k in (3, 4) and hf % 2 == 0 and wd % 2 == 0
                 and (self.s2d or _S2D_ENABLED(name))):
             # space-to-depth: stride-2 conv == 3x3/stride-1 conv on the
             # [4C, H/2, W/2] parity planes (glue diagnostic: the im2col
             # route + its NHWC transposes cost ~9.7 ms/frame of 50).
+            # Frame heights are even, so the row pairing never straddles
+            # a frame boundary and the stacked layout is preserved.
             c4 = 4 * cin
             nr = GP.pick_rows(wd // 2, c4)
             tap9 = 9 * c4 * nr * (wd // 2) * 4
@@ -167,11 +179,13 @@ class _Ctx:
                 out = GP.gated_conv3x3_chw(
                     xs, _s2d_weights(w), b, scale, offset,
                     w_img=wd // 2, relu=relu, gated=True,
-                    interpret=self.interpret)
+                    frames=self.frames, interpret=self.interpret)
                 return out.reshape(-1, h // 2, wd // 2)
-        # fallback: im2col matmul in NHWC
+        # fallback: im2col matmul in NHWC (per-frame real batch: a k>1
+        # or strided conv over the stacked H would leak between frames)
         pad = (k - 1) // 2
-        xn = jnp.transpose(x, (1, 2, 0))[None]  # [1, H, W, C]
+        xn = jnp.transpose(x.reshape(cin, self.frames, hf, wd),
+                           (1, 2, 3, 0))  # [B, hf, W, C]
         fm = _im2col_conv(xn, w.astype(self.dtype), b, stride, 1, pad,
                           self.dtype)
         c = fm.shape[-1] // 2
@@ -180,14 +194,16 @@ class _Ctx:
             f = _elu(f)
         out = f * jax.nn.sigmoid(m)
         out = out * scale + offset
-        out = jnp.transpose(out[0], (2, 0, 1)).astype(self.dtype)
+        _, ho, wo, _ = fm.shape
+        out = jnp.transpose(out, (3, 0, 1, 2)).reshape(
+            c, self.frames * ho, wo).astype(self.dtype)
         return out if res is None else out + res
 
     def _resample(self, x, mode: str, f: int):
         if mode == "nearest" and f > 1:
-            return _nup(x, f)
+            return _nup(x, f)  # row-repeat: frame-stacking oblivious
         if mode == "bilinear":
-            return _bilinear_up4(x)
+            return _bilinear_up4(x, self.frames)
         return x
 
     def conv1x1_comb(self, name: str, parts, relu: bool,
@@ -309,9 +325,15 @@ def _nup(x, f):
     return jnp.repeat(x, f, axis=2)
 
 
-def _bilinear_up4(x):
+def _bilinear_up4(x, frames: int = 1):
     c, h, w = x.shape
-    return jax.image.resize(x, (c, h * 4, w * 4), method="bilinear")
+    if frames == 1:
+        return jax.image.resize(x, (c, h * 4, w * 4), method="bilinear")
+    # per-frame: resizing the stacked H would blend across frames
+    hf = h // frames
+    y = jax.image.resize(x.reshape(c * frames, hf, w),
+                         (c * frames, hf * 4, w * 4), method="bilinear")
+    return y.reshape(c, h * 4, w * 4)
 
 
 def _check_dtype(dtype_name: str, interpret: bool):
@@ -331,13 +353,20 @@ def _check_dtype(dtype_name: str, interpret: bool):
                                     "s2d"))
 def _encoder_seg(variables: Dict, x, x_2, x_4, x_8, num_res: int,
                  interpret: bool, dtype_name: str, s2d: bool = False):
-    """Encoder half: inputs NHWC pyramid -> (res1, res2, res3, z)."""
+    """Encoder half: inputs NHWC pyramid -> (res1, res2, res3, z).
+
+    Batch B > 1 runs natively: frames stack along H in the channel-
+    major layout (see :class:`_Ctx`), one kernel grid per conv for the
+    whole batch."""
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     params, stats = variables["params"], variables["batch_stats"]
-    ctx = _Ctx(params, stats, dtype, interpret, s2d)
+    frames = x.shape[0]
+    ctx = _Ctx(params, stats, dtype, interpret, s2d, frames)
 
     def chw(t):
-        return jnp.transpose(t[0], (2, 0, 1)).astype(dtype)
+        b, h, w, c = t.shape
+        return jnp.transpose(t, (3, 0, 1, 2)).reshape(
+            c, b * h, w).astype(dtype)
 
     x, x_2, x_4, x_8 = chw(x), chw(x_2), chw(x_4), chw(x_8)
 
@@ -364,14 +393,14 @@ def _encoder_seg(variables: Dict, x, x_2, x_4, x_8, num_res: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("num_res", "interpret", "dtype_name",
-                                    "s2d"))
+                                    "s2d", "frames"))
 def _decoder_seg(variables: Dict, res1, res2, res3, z, num_res: int,
-                 interpret: bool, dtype_name: str, s2d: bool = False
-                 ) -> Dict[str, Any]:
+                 interpret: bool, dtype_name: str, s2d: bool = False,
+                 frames: int = 1) -> Dict[str, Any]:
     """Decoder half: (res1, res2, res3, z) -> output dict (NHWC)."""
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     params, stats = variables["params"], variables["batch_stats"]
-    ctx = _Ctx(params, stats, dtype, interpret, s2d)
+    ctx = _Ctx(params, stats, dtype, interpret, s2d, frames)
 
     # downsamples are cheap slices (taken BEFORE the AFF matmul);
     # the upsampled inputs never materialize — conv1x1_comb contracts
@@ -405,7 +434,9 @@ def _decoder_seg(variables: Dict, res1, res2, res3, z, num_res: int,
     im = ctx.conv("feat5", feats, relu=False)
 
     def nhwc(t):
-        return jnp.transpose(t, (1, 2, 0))[None].astype(jnp.float32)
+        c, ht, w = t.shape
+        return jnp.transpose(t.reshape(c, frames, ht // frames, w),
+                             (1, 2, 3, 0)).astype(jnp.float32)
 
     out = {"im_out": nhwc(im)}
     if "seg_head" in params:
@@ -426,7 +457,8 @@ def unet_pallas_apply(variables: Dict, x, x_2, x_4, x_8,
     r1, r2, r3, z = _encoder_seg(variables, x, x_2, x_4, x_8,
                                  num_res, interpret, dtype_name)
     return _decoder_seg(variables, r1, r2, r3, z,
-                        num_res, interpret, dtype_name)
+                        num_res, interpret, dtype_name,
+                        frames=x.shape[0])
 
 
 def unet_pallas_apply_seg(variables: Dict, x, x_2, x_4, x_8,
@@ -452,4 +484,5 @@ def unet_pallas_apply_seg(variables: Dict, x, x_2, x_4, x_8,
     r1, r2, r3, z = _encoder_seg(variables, x, x_2, x_4, x_8,
                                  num_res, interpret, dtype_name, s2d)
     return _decoder_seg(variables, r1, r2, r3, z,
-                        num_res, interpret, dtype_name, s2d)
+                        num_res, interpret, dtype_name, s2d,
+                        frames=x.shape[0])

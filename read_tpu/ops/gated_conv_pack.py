@@ -90,7 +90,7 @@ def pick_rows(w_img: int, cin: int = 32,
 
 def _conv3x3_chw_kernel(*refs, nt: int, hb: int, w_img: int,
                         cins: tuple, relu: bool, gated: bool,
-                        has_res: bool, out_dtype):
+                        has_res: bool, out_dtype, bpf: int = 0):
     """One grid step: output lanes [i*NT, (i+1)*NT) of ``[C2, HW]``.
 
     Takes ``len(cins)`` logical inputs (a channel-concat conv without
@@ -121,6 +121,16 @@ def _conv3x3_chw_kernel(*refs, nt: int, hb: int, w_img: int,
     n = pl.num_programs(0)
     wv = w_img
     ctot = sum(cins)
+    # batched frames stack along H ([C, B*Hf*W] lanes); with bpf
+    # (blocks per frame) > 0 the dy=+-1 halos must not leak between
+    # adjacent frames, so the first/last block OF EACH FRAME zeroes its
+    # prev/next window fill exactly like the image top/bottom border.
+    if bpf:
+        is_first = (i % bpf) == 0
+        is_last = (i % bpf) == bpf - 1
+    else:
+        is_first = i == 0
+        is_last = i == n - 1
     # border masks: lane % W == 0 has no left neighbour, == W-1 no right
     col = jax.lax.broadcasted_iota(jnp.int32, (1, nt), 1) % wv
     not_left = (col != 0).astype(tap9.dtype)
@@ -135,10 +145,11 @@ def _conv3x3_chw_kernel(*refs, nt: int, hb: int, w_img: int,
         # offsets). The two single-column pads catch the corner taps
         # (dy=dx=-1 / dy=dx=+1); every read from them is border-masked.
         win[:, 0:1] = jnp.zeros_like(win[:, 0:1])
-        win[:, 1:1 + wv] = jnp.where(i > 0, xprev_ref[:, hb - wv:], 0.0)
+        win[:, 1:1 + wv] = jnp.where(~is_first, xprev_ref[:, hb - wv:],
+                                     0.0)
         win[:, 1 + wv:1 + wv + nt] = xmid_ref[:, :]
         win[:, 1 + wv + nt:1 + 2 * wv + nt] = jnp.where(
-            i < n - 1, xnext_ref[:, :wv], 0.0)
+            ~is_last, xnext_ref[:, :wv], 0.0)
         win[:, 1 + 2 * wv + nt:] = jnp.zeros_like(win[:, 0:1])
 
         for t, (dy, dx) in enumerate((dy, dx) for dy in (-1, 0, 1)
@@ -162,19 +173,49 @@ def _conv3x3_chw_kernel(*refs, nt: int, hb: int, w_img: int,
     out_ref[:, :] = out.astype(out_dtype)
 
 
+def _pad_frame_rows(x: jax.Array, frames: int, h: int, w_img: int,
+                    hpad: int) -> jax.Array:
+    """Zero-pad each stacked frame from ``h`` to ``h+hpad`` rows.
+
+    Zero rows reproduce the conv's bottom zero-padding exactly, so the
+    kernel needs no row-level masks — the padded output rows are just
+    sliced off afterwards."""
+    c = x.shape[0]
+    if frames == 1:
+        return jnp.pad(x, ((0, 0), (0, hpad * w_img)))
+    x = x.reshape(c, frames, h, w_img)
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, hpad), (0, 0)))
+    return x.reshape(c, frames * (h + hpad) * w_img)
+
+
+def _unpad_frame_rows(y: jax.Array, frames: int, h: int, w_img: int,
+                      hpad: int) -> jax.Array:
+    c = y.shape[0]
+    if frames == 1:
+        return y[:, :h * w_img]
+    y = y.reshape(c, frames, h + hpad, w_img)[:, :, :h, :]
+    return y.reshape(c, frames * h * w_img)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("w_img", "relu", "gated", "rows", "interpret"))
+    static_argnames=("w_img", "relu", "gated", "rows", "frames",
+                     "interpret"))
 def gated_conv3x3_chw(x: jax.Array, w: jax.Array, b: jax.Array,
                       scale: jax.Array, offset: jax.Array,
                       res: Optional[jax.Array] = None, *,
                       w_img: int, relu: bool = True, gated: bool = True,
-                      rows: int = 0, interpret: bool = False
-                      ) -> jax.Array:
+                      rows: int = 0, frames: int = 1,
+                      interpret: bool = False) -> jax.Array:
     """Fused 3x3/stride-1 gated conv + BN affine, channel-major.
 
     Args:
       x: ``[Cin, H*W]`` activations (f32 or bf16), row-major pixels.
+        With ``frames`` > 1, ``frames`` same-sized images stacked along
+        H (``H = frames * h_frame``) — the TPU-native batch layout: one
+        kernel sequence regardless of batch, dy halos masked at frame
+        boundaries inside the kernel (block-granular because row-groups
+        are padded to divide the frame height).
       w: ``[3, 3, Cin, C2]`` HWIO conv weights (C2 = 2*Cout when gated).
       b: ``[C2]``; scale, offset: ``[Cout]`` folded eval-BN affine.
       res: optional ``[Cout, H*W]`` residual, added after the epilogue
@@ -185,16 +226,17 @@ def gated_conv3x3_chw(x: jax.Array, w: jax.Array, b: jax.Array,
     """
     import math
     cin, hw = x.shape
-    assert hw % w_img == 0, (hw, w_img)
-    h = hw // w_img
+    assert hw % (w_img * frames) == 0, (hw, w_img, frames)
+    h = hw // w_img // frames
     c2 = w.shape[-1]
     cout = c2 // 2 if gated else c2
     nr = rows or pick_rows(w_img, cin)
     hpad = (-h) % nr
     if hpad:
-        x = jnp.pad(x, ((0, 0), (0, hpad * w_img)))
+        x = _pad_frame_rows(x, frames, h, w_img, hpad)
     nt = nr * w_img
-    grid = (h + hpad) // nr
+    bpf = (h + hpad) // nr  # grid blocks per frame
+    grid = frames * bpf
     # minimal 128-lane-divisible halo: hr rows next to the block edge
     # (hr = nr is the fetch-the-whole-neighbour fallback, used when an
     # explicit ``rows`` override is not a multiple of the minimum)
@@ -211,7 +253,7 @@ def gated_conv3x3_chw(x: jax.Array, w: jax.Array, b: jax.Array,
     kern = functools.partial(
         _conv3x3_chw_kernel, nt=nt, hb=hb, w_img=w_img, cins=(cin,),
         relu=relu, gated=gated, has_res=res is not None,
-        out_dtype=x.dtype)
+        out_dtype=x.dtype, bpf=bpf)
     blk = (cin, nt)
     in_specs = [
         pl.BlockSpec((cin, hb),
@@ -235,7 +277,7 @@ def gated_conv3x3_chw(x: jax.Array, w: jax.Array, b: jax.Array,
     if res is not None:
         assert res.shape == (cout, hw), (res.shape, cout, hw)
         if hpad:
-            res = jnp.pad(res, ((0, 0), (0, hpad * w_img)))
+            res = _pad_frame_rows(res, frames, h, w_img, hpad)
         in_specs.append(pl.BlockSpec((cout, nt), lambda i: (0, i),
                                      memory_space=pltpu.VMEM))
         operands.append(res)
@@ -245,8 +287,8 @@ def gated_conv3x3_chw(x: jax.Array, w: jax.Array, b: jax.Array,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((cout, nt), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((cout, (h + hpad) * w_img),
-                                       x.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (cout, frames * (h + hpad) * w_img), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((cin, nt + 2 * w_img + 2), x.dtype),
             pltpu.VMEM((9 * cin, nt), x.dtype),
@@ -262,7 +304,9 @@ def gated_conv3x3_chw(x: jax.Array, w: jax.Array, b: jax.Array,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*operands)
-    return out[:, :hw]
+    if hpad:
+        return _unpad_frame_rows(out, frames, h, w_img, hpad)
+    return out
 
 
 def _conv1x1_chw_kernel(*refs, relu: bool, gated: bool, has_res: bool,

@@ -54,7 +54,21 @@ _FAR = jnp.float32(2.0)
 # Every z-buffer algorithm rasterize() accepts. Checked loudly: an
 # unknown string must not silently fall through to a different
 # tie-break semantics (config files bypass the CLI argparse choices).
-RASTER_METHODS = ("sort", "sort2", "sort1q", "scatter", "scatter1")
+# 'pallas' = scatter1 semantics computed by the sequential-grid Pallas
+# kernel (rasterize_pallas.zbuffer_scatter1_pallas) on TPU; on other
+# backends it falls back to the bit-identical XLA scatter1.
+RASTER_METHODS = ("sort", "sort2", "sort1q", "scatter", "scatter1",
+                  "pallas")
+
+
+def _scatter1_dispatch(pix, depth, ids, n_pixels, depth_by_id, n_ids,
+                       method):
+    if method == "pallas" and jax.default_backend() == "tpu":
+        from read_tpu.ops import rasterize_pallas as _RP
+        return _RP.zbuffer_scatter1_pallas(pix, depth, ids, n_pixels,
+                                           depth_by_id, n_ids)
+    return _zbuffer_scatter1(pix, depth, ids, n_pixels, depth_by_id,
+                             n_ids)
 
 
 def _check_method(method: str) -> None:
@@ -318,11 +332,11 @@ def rasterize(xyz: jax.Array, total_m: jax.Array, h: int, w: int,
     if point_radius == 0 and not varying:
         pix, depth = _pixel_ids(ndc, valid, h, w)
         n = pix.shape[0]
-        if method in ("sort", "sort2", "sort1q", "scatter1"):
+        if method in ("sort", "sort2", "sort1q", "scatter1", "pallas"):
             ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
-            if method == "scatter1":
-                index, dbuf = _zbuffer_scatter1(pix, depth, ids, h * w,
-                                                depth, n)
+            if method in ("scatter1", "pallas"):
+                index, dbuf = _scatter1_dispatch(pix, depth, ids, h * w,
+                                                 depth, n, method)
             else:
                 zb = {"sort": _zbuffer_sort, "sort2": _zbuffer_sort2,
                       "sort1q": _zbuffer_sort1q}[method]
@@ -366,10 +380,11 @@ def rasterize(xyz: jax.Array, total_m: jax.Array, h: int, w: int,
     pix = jnp.concatenate(pix_all)
     dep = jnp.concatenate(dep_all)
     ids_rep = jnp.tile(ids, len(offsets))
-    if method == "scatter1":
+    if method in ("scatter1", "pallas"):
         # exact winner depth re-gathers by id from the per-point depth0
-        index, dout = _zbuffer_scatter1(pix, dep, ids_rep, h * w,
-                                        jnp.where(valid, depth0, 0.0), n)
+        index, dout = _scatter1_dispatch(pix, dep, ids_rep, h * w,
+                                         jnp.where(valid, depth0, 0.0),
+                                         n, method)
         return index.reshape(h, w), dout.reshape(h, w)
     if method in ("sort", "sort2", "sort1q"):
         zb = {"sort": _zbuffer_sort, "sort2": _zbuffer_sort2,
@@ -427,6 +442,36 @@ def rasterize_batch(xyz: jax.Array, total_m: jax.Array, h: int, w: int,
         index, dbuf = _zbuffer_sort(pix.reshape(-1), depth.reshape(-1),
                                     ids.reshape(-1), b * h * w)
         return index.reshape(b, h, w), dbuf.reshape(b, h, w)
+    if (method == "pallas" and point_radius == 0 and total_m.ndim == 3
+            and jax.default_backend() == "tpu"):
+        # natively-batched kernel: the flat grid covers all views'
+        # chunks back-to-back (vmap over the kernel fails Mosaic's
+        # SMEM block-batching rule, and B separate dispatches waste
+        # the per-executable entry cost)
+        from read_tpu.ops import rasterize_pallas as _RP
+        b = total_m.shape[0]
+        n = xyz.shape[0]
+        ndc, valid = jax.vmap(project_points,
+                              in_axes=(None, 0))(xyz, total_m)
+        if ndc_jitter is not None:
+            ndc = ndc.at[:, :, :2].add(ndc_jitter[None])
+        u = jnp.floor(w * (ndc[..., 0] + 1.0) * 0.5).astype(jnp.int32)
+        v = jnp.floor(h * (1.0 - ndc[..., 1]) * 0.5).astype(jnp.int32)
+        depth = (ndc[..., 2] + 1.0) * 0.5
+        inside = valid & (u >= 0) & (u < w) & (v >= 0) & (v < h)
+        pix = jnp.where(inside, v * w + u, h * w)
+        dep = jnp.where(inside, depth, _FAR)
+        ids = jnp.broadcast_to(
+            jax.lax.broadcasted_iota(jnp.int32, (1, n), 1), (b, n))
+        key, idb = _RP.pack_keys(pix, dep, ids, h * w, n)
+        buf = _RP.zbuffer_pallas2(jnp.minimum(pix, h * w), key, h * w)
+        empty = buf == jnp.iinfo(jnp.int32).max
+        index = jnp.where(empty, -1, buf & ((1 << idb) - 1))
+        depth0 = jnp.where(valid, depth, 0.0)
+        dout = jnp.where(
+            empty, 0.0,
+            jnp.take_along_axis(depth0, jnp.maximum(index, 0), axis=1))
+        return index.reshape(b, h, w), dout.reshape(b, h, w)
     f = functools.partial(rasterize, h=h, w=w, point_radius=point_radius,
                           method=method, ndc_jitter=ndc_jitter)
     return jax.vmap(f, in_axes=(None, 0))(xyz, total_m)

@@ -30,7 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["zbuffer_pallas", "rasterize_pallas"]
+__all__ = ["zbuffer_pallas", "rasterize_pallas", "zbuffer_pallas2",
+           "pack_keys", "zbuffer_scatter1_pallas"]
 
 _LANES = 128
 _FAR = 2.0  # any real NDC depth is in [0, 1]
@@ -132,3 +133,192 @@ def rasterize_pallas(xyz: jax.Array, total_m: jax.Array, h: int, w: int,
     pix = jnp.where(inside, v * w + u, -1)
     idx, dep = zbuffer_pallas(pix, depth, h * w, chunk, interpret)
     return idx.reshape(h, w), dep.reshape(h, w)
+
+
+# ---------------------------------------------------------------------------
+# v2: packed single-buffer kernel (scatter1 semantics, batched)
+# ---------------------------------------------------------------------------
+
+_INT_MAX = jnp.iinfo(jnp.int32).max
+
+
+def _kernel2(pix_ref, key_ref, buf, *, chunk, unroll, chunks_per_view):
+    """Sequential-grid scatter-min of packed (depth, id) int32 keys.
+
+    One VMEM row read-modify-write per point — half the traffic of the
+    v1 kernel (which kept separate depth and index buffers). Invalid
+    points carry the dump-row pixel id, so the loop body is branch-free
+    (no per-point @pl.when predication). Batched natively: the flat
+    grid covers B views' chunks back to back; the framebuffer block
+    switches per view via the output index_map and re-inits at each
+    view's first chunk. (vmap over the kernel is NOT used: Mosaic
+    rejects squeezed SMEM batch blocks on real TPUs.)
+    """
+    ci = pl.program_id(0)
+
+    @pl.when(ci % chunks_per_view == 0)
+    def _init():
+        buf[:] = jnp.full_like(buf[:], _INT_MAX)
+
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+
+    def body(j, _):
+        for u in range(unroll):
+            p = pix_ref[j * unroll + u]
+            k = key_ref[j * unroll + u]
+            row = p >> 7          # _LANES == 128
+            col = p & (_LANES - 1)
+            krow = buf[0, pl.ds(row, 1), :]
+            take = (lane_ids == col) & (k < krow)
+            buf[0, pl.ds(row, 1), :] = jnp.where(take, k, krow)
+        return 0
+
+    jax.lax.fori_loop(0, chunk // unroll, body, 0, unroll=False)
+
+
+def zbuffer_pallas2(pix: jax.Array, key: jax.Array, n_pixels: int,
+                    chunk: int = 16384, unroll: int = 4,
+                    interpret: bool = False) -> jax.Array:
+    """Packed-key z-buffer: returns the per-pixel MIN of ``key``
+    (``_INT_MAX`` = empty). Semantics identical to
+    ``rasterize._zbuffer_scatter1``'s scatter-min, computed by a
+    sequential-grid Pallas kernel instead of XLA's serialized scatter
+    (8.6 vs 16.0 ms at 1M points / 447k pixels, scripts/bench_r4_probe).
+
+    Args:
+      pix: ``[N]`` or ``[B, N]`` int32 flat pixel ids; invalid points
+        must carry a dump id ``>= n_pixels``.
+      key: same shape, int32 packed ``(qdepth << idb) | point_id``
+        (build with :func:`pack_keys`).
+
+    Returns ``[n_pixels]`` (or ``[B, n_pixels]``) min-key buffers.
+    """
+    batched = pix.ndim == 2
+    if not batched:
+        pix, key = pix[None], key[None]
+    b, n = pix.shape
+    n_pad = (-n) % chunk
+    n_rows = -(-n_pixels // _LANES) + 1  # +1 dump row band
+    dump = n_rows * _LANES - 1
+    pix = jnp.minimum(pix, dump)
+    if n_pad:
+        pix = jnp.concatenate(
+            [pix, jnp.full((b, n_pad), dump, jnp.int32)], axis=1)
+        key = jnp.concatenate(
+            [key, jnp.full((b, n_pad), _INT_MAX, jnp.int32)], axis=1)
+    chunks_per_view = pix.shape[1] // chunk
+    grid = (b * chunks_per_view,)
+    kernel = functools.partial(_kernel2, chunk=chunk, unroll=unroll,
+                               chunks_per_view=chunks_per_view)
+    buf = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((chunk,), lambda i: (i,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((chunk,), lambda i: (i,),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, n_rows, _LANES),
+            lambda i: (i // chunks_per_view, 0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_rows, _LANES), jnp.int32),
+        interpret=interpret,
+    )(pix.reshape(-1).astype(jnp.int32),
+      key.reshape(-1).astype(jnp.int32))
+    out = buf.reshape(b, -1)[:, :n_pixels]
+    return out if batched else out[0]
+
+
+def _kernel3(pix_ref, key_ref, buf, *, chunk, unroll):
+    """Tile-aligned variant of :func:`_kernel2`: the framebuffer is laid
+    out ``[n_tiles, 8, 128]`` and each point read-modify-writes the full
+    (8, 128) VMEM tile containing its pixel (dynamic index on the tile
+    dim only — no dynamic sublane shifts)."""
+    ci = pl.program_id(0)
+
+    @pl.when(ci == 0)
+    def _init():
+        buf[:] = jnp.full_like(buf[:], _INT_MAX)
+
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 8, _LANES), 2)
+    sub_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 8, _LANES), 1)
+
+    def body(j, _):
+        for u in range(unroll):
+            p = pix_ref[j * unroll + u]
+            k = key_ref[j * unroll + u]
+            tile = p >> 10            # 8 * 128 pixels per tile
+            sub = (p >> 7) & 7
+            col = p & (_LANES - 1)
+            krow = buf[pl.ds(tile, 1), :, :]
+            take = (lane_ids == col) & (sub_ids == sub) & (k < krow)
+            buf[pl.ds(tile, 1), :, :] = jnp.where(take, k, krow)
+        return 0
+
+    jax.lax.fori_loop(0, chunk // unroll, body, 0, unroll=False)
+
+
+def zbuffer_pallas3(pix: jax.Array, key: jax.Array, n_pixels: int,
+                    chunk: int = 16384, unroll: int = 4,
+                    interpret: bool = False) -> jax.Array:
+    """:func:`zbuffer_pallas2` with the tile-aligned kernel."""
+    n = pix.shape[0]
+    n_pad = (-n) % chunk
+    n_tiles = -(-n_pixels // (8 * _LANES)) + 1  # +1 dump tile
+    dump = n_tiles * 8 * _LANES - 1
+    pix = jnp.minimum(pix, dump)
+    if n_pad:
+        pix = jnp.concatenate([pix, jnp.full((n_pad,), dump, jnp.int32)])
+        key = jnp.concatenate([key, jnp.full((n_pad,), _INT_MAX,
+                                             jnp.int32)])
+    grid = (pix.shape[0] // chunk,)
+    kernel = functools.partial(_kernel3, chunk=chunk, unroll=unroll)
+    buf = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((chunk,), lambda i: (i,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((chunk,), lambda i: (i,),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((n_tiles, 8, _LANES), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 8, _LANES), jnp.int32),
+        interpret=interpret,
+    )(pix.astype(jnp.int32), key.astype(jnp.int32))
+    return buf.reshape(-1)[:n_pixels]
+
+
+def pack_keys(pix: jax.Array, depth: jax.Array, ids: jax.Array,
+              n_pixels: int, n_ids: int):
+    """scatter1 key packing (``rasterize._zbuffer_scatter1`` parity):
+    ``key = clip(round(depth * qmax), 0, qmax-1) << idb | id``; invalid
+    points (``pix >= n_pixels``) get ``_INT_MAX``."""
+    idb = max(1, (n_ids - 1).bit_length())
+    db = 31 - idb
+    if db < 8:
+        raise ValueError(f"pallas zbuffer: only {db} depth bits for "
+                         f"{n_ids} ids; use method='sort'")
+    qmax = (1 << db) - 1
+    q = jnp.clip(depth * qmax, 0, qmax - 1).astype(jnp.int32)
+    key = jnp.where(pix < n_pixels, (q << idb) | ids, _INT_MAX)
+    return key, idb
+
+
+def zbuffer_scatter1_pallas(pix: jax.Array, depth: jax.Array,
+                            ids: jax.Array, n_pixels: int,
+                            depth_by_id: jax.Array, n_ids: int,
+                            interpret: bool = False):
+    """Drop-in replacement for ``rasterize._zbuffer_scatter1`` backed by
+    :func:`zbuffer_pallas2` (same packed keys, same unpack, EXACT
+    re-gathered winner depths)."""
+    key, idb = pack_keys(pix, depth, ids, n_pixels, n_ids)
+    pix_safe = jnp.where(pix < n_pixels, pix, n_pixels)
+    buf = zbuffer_pallas2(pix_safe, key, n_pixels, interpret=interpret)
+    empty = buf == _INT_MAX
+    ibuf = jnp.where(empty, -1, buf & ((1 << idb) - 1))
+    dbuf = jnp.where(empty, 0.0, depth_by_id[jnp.maximum(ibuf, 0)])
+    return ibuf, dbuf

@@ -473,7 +473,8 @@ def _losses(cfg: PipelineConfig, vgg_params, out: Dict, batch: Dict,
 
 
 def make_train_step(net: UNet, cfg: PipelineConfig, vgg_params,
-                    donate: bool = False, freeze_net: bool = False):
+                    donate: bool = False, freeze_net: bool = False,
+                    return_images: bool = False):
     """Build the fused jitted train step.
 
     batch: ``{'total_m': [B,4,4], 'target': [B,h,w,3]`` (+ optional
@@ -485,6 +486,10 @@ def make_train_step(net: UNet, cfg: PipelineConfig, vgg_params,
     state (halves peak HBM for the big texture/optimizer tables — the
     train CLI uses it). The caller must then never touch the passed-in
     state again; the default is safe-but-copying.
+
+    ``return_images=True`` appends the predicted image to the step's
+    returns — ``(state, metrics, im_out [B,h,w,3])`` — feeding the
+    per-iteration train composite dumps (``src/train.py:206-217``).
 
     ``freeze_net=True`` is the texture-only fitting mode (reference
     ``train.py:515-527``: freeze the net after a checkpoint load and fit
@@ -526,10 +531,12 @@ def make_train_step(net: UNet, cfg: PipelineConfig, vgg_params,
             if cfg.reg_weight:
                 loss = loss + T.point_texture_reg_loss(texture,
                                                        cfg.reg_weight)
-            return loss, (metrics, new_bs)
+            # im_out rides the aux; XLA dead-code-eliminates it when the
+            # caller drops it (return_images=False)
+            return loss, (metrics, new_bs, out["im_out"])
 
         if freeze_net:
-            (loss, (metrics, _bs)), g_tex = jax.value_and_grad(
+            (loss, (metrics, _bs, im)), g_tex = jax.value_and_grad(
                 lambda t: loss_fn(state.params, t), has_aux=True)(
                     state.texture)
             g_tex = jax.tree.map(
@@ -540,10 +547,13 @@ def make_train_step(net: UNet, cfg: PipelineConfig, vgg_params,
             texture = jax.tree.map(lambda t, u: t + lr_tex * u,
                                    state.texture, up_tex)
             metrics["loss"] = loss
-            return state.replace(step=state.step + 1, texture=texture,
-                                 tex_opt=tex_opt_state), metrics
+            new_state = state.replace(step=state.step + 1, texture=texture,
+                                      tex_opt=tex_opt_state)
+            if return_images:
+                return new_state, metrics, im
+            return new_state, metrics
 
-        (loss, (metrics, new_bs)), grads = jax.value_and_grad(
+        (loss, (metrics, new_bs, im)), grads = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(
                 state.params, state.texture)
         g_net, g_tex = jax.tree.map(
@@ -564,6 +574,8 @@ def make_train_step(net: UNet, cfg: PipelineConfig, vgg_params,
         new_state = state.replace(
             step=state.step + 1, params=params, batch_stats=new_bs,
             texture=texture, net_opt=net_opt_state, tex_opt=tex_opt_state)
+        if return_images:
+            return new_state, metrics, im
         return new_state, metrics
 
     return train_step

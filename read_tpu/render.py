@@ -311,7 +311,8 @@ def main(argv=None):
                    help="override the checkpoint's compute dtype")
     p.add_argument("--raster-method", "--raster", dest="raster_method",
                    default=None,
-                   choices=["sort", "scatter1", "scatter", "sort1q"],
+                   choices=["sort", "scatter1", "scatter", "sort1q",
+                            "pallas"],
                    help="override the checkpoint's z-buffer algorithm "
                         "for the neural pyramid AND raw render modes "
                         "('scatter1' = one packed scatter-min, ~25%% "

@@ -32,6 +32,7 @@ stage 3/4 design).
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -145,14 +146,26 @@ def build_argparser() -> argparse.ArgumentParser:
                         "and restored at inference.")
     p.add_argument("--raster-method", dest="raster_method", type=str,
                    default="sort",
-                   choices=["sort", "scatter1", "scatter", "sort1q"],
+                   choices=["sort", "scatter1", "scatter", "sort1q",
+                            "pallas"],
                    help="z-buffer algorithm (ops/rasterize.py): 'sort' "
                         "exact reference tie semantics; 'scatter1' one "
-                        "packed scatter-min, ~25%% faster at 1M points "
-                        "(the bench.py inference path). Recorded in "
-                        "checkpoints and restored at inference.")
+                        "packed scatter-min; 'pallas' the same "
+                        "semantics via the sequential-grid Pallas "
+                        "kernel (8.6 vs 16.0 ms at 1M pts on TPU, the "
+                        "bench.py inference path; falls back to "
+                        "scatter1 off-TPU). Recorded in checkpoints "
+                        "and restored at inference.")
     p.add_argument("--max-steps-per-epoch", dest="max_steps_per_epoch",
                    type=int, default=None)
+    p.add_argument("--max-scenes-hbm", dest="max_scenes_hbm", type=int,
+                   default=None,
+                   help="cap on HBM-resident scene texture tables: the "
+                        "active working set trains in contiguous chunks "
+                        "of this many scenes while the rest live in host "
+                        "RAM (the reference's max_ds texture swap, "
+                        "compose.py:96-116 + train.py:229-261). Default: "
+                        "all scenes resident.")
     p.add_argument("--headless-platform", dest="headless_platform",
                    type=str, default=None,
                    help="force a jax platform (e.g. cpu for smoke runs)")
@@ -219,6 +232,89 @@ def config_dict(args) -> dict:
     return {k: v for k, v in vars(args).items()
             if isinstance(v, (str, int, float, bool, list, tuple,
                               type(None)))}
+
+
+class SceneStateStore:
+    """Per-scene TrainState dict with texture host-offload.
+
+    The reference trains tens/hundreds of scenes on one GPU by keeping
+    every texture on CPU and swapping the active ``max_ds`` chunk to the
+    device (``READ/models/compose.py:96-116``, ``train.py:229-261``).
+    TPU-style equivalent: at most ``budget`` scenes' texture + RMSprop
+    tables are HBM-resident; the rest live in host RAM as numpy and are
+    ``device_put`` on :meth:`activate` with LRU eviction. The shared net
+    portion (params/batch_stats/net_opt) always stays on device — only
+    the per-scene big tables swap. ``budget=None`` disables offload
+    (every scene resident, the single/few-scene fast path).
+    """
+
+    def __init__(self, budget: Optional[int] = None):
+        self._states: Dict[int, object] = {}
+        self.budget = budget
+        self._lru: List[int] = []  # most-recent last, device-resident ids
+
+    def __getitem__(self, sid):
+        return self._states[sid]
+
+    def __setitem__(self, sid, state):
+        self._states[sid] = state
+        # track only device-resident textures in the LRU (net-portion
+        # rebinds on offloaded states must not count against the budget)
+        if self.budget is not None and sid not in self._lru \
+                and not isinstance(state.texture, np.ndarray):
+            self._lru.append(sid)
+            self._evict()
+
+    def __contains__(self, sid):
+        return sid in self._states
+
+    def __iter__(self):
+        return iter(self._states)
+
+    def keys(self):
+        return self._states.keys()
+
+    def is_offloaded(self, sid) -> bool:
+        return isinstance(self._states[sid].texture, np.ndarray)
+
+    @property
+    def resident_ids(self):
+        return tuple(self._lru)
+
+    def _offload(self, sid):
+        import jax
+        st = self._states[sid]
+        if isinstance(st.texture, np.ndarray):
+            return
+        self._states[sid] = st.replace(
+            texture=jax.device_get(st.texture),
+            tex_opt=jax.tree.map(jax.device_get, st.tex_opt))
+
+    def _evict(self):
+        while self.budget is not None and len(self._lru) > self.budget:
+            victim = self._lru.pop(0)
+            self._offload(victim)
+
+    def activate(self, sid):
+        """Return the state with its texture tables device-resident,
+        evicting the least-recently-used scene beyond the budget."""
+        import jax
+        st = self._states[sid]
+        if self.budget is None:
+            return st
+        if sid in self._lru:
+            self._lru.remove(sid)
+        self._lru.append(sid)
+        if isinstance(st.texture, np.ndarray):
+            import jax.numpy as jnp
+            st = st.replace(
+                texture=jnp.asarray(st.texture),
+                tex_opt=jax.tree.map(
+                    lambda x: jnp.asarray(x) if isinstance(x, np.ndarray)
+                    else x, st.tex_opt))
+            self._states[sid] = st
+        self._evict()
+        return st
 
 
 def run_alt_pipeline(args, cfg, ds_train, ds_val, writer, exp_dir,
@@ -491,9 +587,14 @@ def main(argv=None):
                                 exp_dir, vgg_params)
 
     # per-scene states sharing one net (NetAndTexture parity: one net,
-    # per-scene textures, compose.py:84-116)
+    # per-scene textures, compose.py:84-116); with --max-scenes-hbm only
+    # that many scenes' texture tables stay device-resident
+    if args.max_scenes_hbm is not None and args.mesh:
+        raise SystemExit("--max-scenes-hbm is not supported with --mesh "
+                         "(sharded tables are already the large-scene "
+                         "path); drop one of the flags")
     key = jax.random.PRNGKey(args.seed)
-    states: Dict[int, TP.TrainState] = {}
+    states = SceneStateStore(budget=args.max_scenes_hbm)
     net = None
     for tr, tex_ckpt in zip(ds_train, texture_ckpts):
         key, sub = jax.random.split(key)
@@ -564,7 +665,8 @@ def main(argv=None):
         # scene switches), so donating the big texture/optimizer buffers
         # halves peak HBM.
         train_step = TP.make_train_step(net, cfg, vgg_params, donate=True,
-                                        freeze_net=args.freeze_net)
+                                        freeze_net=args.freeze_net,
+                                        return_images=True)
     eval_step = TP.make_eval_step(net, cfg, vgg_params)
     sched = TP.ReduceLROnPlateau(factor=args.plateau_factor,
                                  patience=args.plateau_patience)
@@ -636,14 +738,51 @@ def main(argv=None):
             return SH.shard_points(mesh, xyz)
         return jnp.asarray(xyz)
 
+    # per-iteration train composite dumps (src/train.py:206-217): grids
+    # of out | target | depth (viridis) stacked vertically, rotating
+    # `log_num_images` files, written every `log_freq` steps (the
+    # reference writes every iteration; through the dev tunnel one
+    # [B,h,w,3] download per iter would dominate the step).
+    _depth_fn = {}
+
+    def dump_train_composite(k: int, sid, im, batch, dev_batch, xyz):
+        import imageio.v2 as imageio
+        from read_tpu.utils.colorize import colorize, label_to_color
+        from read_tpu.ops import rasterize as R
+        shape = tuple(im.shape[1:3])
+        if shape not in _depth_fn:
+            _depth_fn[shape] = jax.jit(functools.partial(
+                lambda xyz, m, h, w: R.rasterize_batch(
+                    xyz, m, h, w, method=cfg.raster_method)[1],
+                h=shape[0], w=shape[1]))
+        depth = np.asarray(_depth_fn[shape](xyz, dev_batch["total_m"]))
+
+        def grid(rows):  # nrow=4 make_grid parity
+            rows = [np.asarray(r) for r in rows[:4]]
+            return np.concatenate(rows, axis=1)
+
+        out_g = grid(np.clip(np.asarray(im), 0, 1))
+        tgt_g = grid(batch["target"])
+        dep_g = grid(colorize(depth))
+        comp = [out_g, tgt_g, dep_g]
+        if args.num_classes and batch.get("label") is not None:
+            comp.append(grid(
+                label_to_color(batch["label"]).astype(np.float32) / 255.))
+        comp = np.concatenate(comp, axis=0)
+        d = os.path.join(exp_dir, "train_imgs")
+        os.makedirs(d, exist_ok=True)
+        imageio.imwrite(
+            os.path.join(d, f"comp_{k % args.log_num_images}.png"),
+            (np.clip(comp, 0, 1) * 255).astype(np.uint8))
+
     def eval_state(sid: int) -> TP.TrainState:
         """State usable by the unsharded eval step (gathers + strips the
-        texture padding when training on a mesh)."""
-        st = states[sid]
+        texture padding when training on a mesh; re-activates the texture
+        tables when host-offloaded)."""
         if mesh is None:
-            return st
+            return states.activate(sid)
         from read_tpu.parallel import sharded as SH
-        return SH.unshard_state(st, scene_by_id[sid].n_points)
+        return SH.unshard_state(states[sid], scene_by_id[sid].n_points)
 
     def carry_net(dst_sid: int, src_sid: int):
         """Rebind the shared net portion (params/stats/opt/lr) of
@@ -660,7 +799,11 @@ def main(argv=None):
         """Interleaved multi-scene epoch: per-scene batch streams are
         shuffled together (reference shuffles a chunked ConcatDataset,
         ``train.py:229-248``) so the shared net + BatchNorm stats never
-        see one long single-scene run."""
+        see one long single-scene run. With ``--max-scenes-hbm`` the
+        scene set is partitioned into working-set chunks of that size
+        (reference ``max_ds`` chunking, ``train.py:229-238``): batches
+        interleave within a chunk, chunks run sequentially, so texture
+        tables swap host<->HBM once per chunk instead of per batch."""
         acc = AccumDict()
         ep_rng = np.random.default_rng(args.seed + 13 * epoch)
 
@@ -668,16 +811,21 @@ def main(argv=None):
             its = {ds.id: iter(BatchIterator(
                 ds, args.batch_size, shuffle=True,
                 seed=args.seed + epoch)) for ds in ds_train}
-            # one schedule slot per batch, shuffled across scenes
-            slots = [ds.id for ds in ds_train
-                     for _ in range(len(BatchIterator(ds,
-                                                      args.batch_size)))]
-            ep_rng.shuffle(slots)
-            for sid in slots:
-                try:
-                    yield sid, next(its[sid])
-                except StopIteration:
-                    continue
+            scene_ids = [ds.id for ds in ds_train]
+            ep_rng.shuffle(scene_ids)
+            chunk = args.max_scenes_hbm or len(scene_ids)
+            n_slots = {ds.id: len(BatchIterator(ds, args.batch_size))
+                       for ds in ds_train}
+            for c0 in range(0, len(scene_ids), chunk):
+                group = scene_ids[c0:c0 + chunk]
+                slots = [sid for sid in group
+                         for _ in range(n_slots[sid])]
+                ep_rng.shuffle(slots)
+                for sid in slots:
+                    try:
+                        yield sid, next(its[sid])
+                    except StopIteration:
+                        continue
 
         it = PrefetchIterator(batches(), depth=2)
         xyz_cache = {}
@@ -687,6 +835,11 @@ def main(argv=None):
         for sid, batch in it:
             if sid not in xyz_cache:
                 xyz_cache[sid] = scene_xyz(scene_by_id[sid])
+                if args.max_scenes_hbm is not None:
+                    # point clouds follow the texture working set
+                    keep = set(states.resident_ids) | {sid}
+                    for k in [k for k in xyz_cache if k not in keep]:
+                        del xyz_cache[k]
             if last_sid is not None:
                 carry_net(sid, last_sid)
             dev_batch = {
@@ -715,9 +868,10 @@ def main(argv=None):
                              for k, v in dev_batch.items()}
                 st, metrics = train_step(states[sid], xyz_cache[sid],
                                          dev_batch, pc_sharded)
+                im = None
             else:
-                st, metrics = train_step(states[sid], xyz_cache[sid],
-                                         dev_batch)
+                st, metrics, im = train_step(states.activate(sid),
+                                             xyz_cache[sid], dev_batch)
             states[sid] = st
             last_sid = sid
             acc.update({k: float(v) for k, v in metrics.items()})
@@ -728,6 +882,13 @@ def main(argv=None):
                 if writer:
                     for k, v in acc.means().items():
                         writer.add_scalar(f"train/{k}", v, gstep)
+                if im is not None and args.log_num_images:
+                    try:
+                        dump_train_composite(
+                            step_count // args.log_freq - 1, sid, im,
+                            batch, dev_batch, xyz_cache[sid])
+                    except Exception as e:  # never kill training on a dump
+                        print(f"train composite dump failed: {e}")
             if args.max_steps_per_epoch and \
                     step_count >= args.max_steps_per_epoch:
                 break

@@ -105,14 +105,90 @@ def probe_pallaszb():
     _control()
     xyz, m, h, w = _scene(b=1)
     xyz, m = jnp.asarray(xyz), jnp.asarray(m)
-    for chunk in (1024, 4096, 16384):
-        fn = jax.jit(lambda x, mm, c=chunk: RP.rasterize_pallas(
-            x, mm[0], h, w, chunk=c))
-        dt = _timeit(fn, (xyz, m))
-        print(f"zbuffer_pallas chunk={chunk}: {dt*1e3:.2f} ms")
     dt = _timeit(jax.jit(lambda x, mm: R.rasterize_batch(
         x, mm, h, w, method="scatter1")), (xyz, m))
     print(f"scatter1 reference: {dt*1e3:.2f} ms")
+    for chunk, unroll in ((8192, 8), (16384, 16), (16384, 4)):
+        fn = jax.jit(lambda x, mm, c=chunk, u=unroll: R.rasterize_batch(
+            x, mm, h, w, method="pallas"))
+        if (chunk, unroll) != (8192, 8):
+            # re-dispatch with explicit params through the low-level API
+            def fn_low(x, mm, c=chunk, u=unroll):
+                ndc, valid = R.project_points(x, mm[0])
+                uu = jnp.floor(w * (ndc[:, 0] + 1) * .5).astype(jnp.int32)
+                vv = jnp.floor(h * (1 - ndc[:, 1]) * .5).astype(jnp.int32)
+                d = (ndc[:, 2] + 1) * .5
+                inside = valid & (uu >= 0) & (uu < w) & (vv >= 0) & (vv < h)
+                pix = jnp.where(inside, vv * w + uu, h * w)
+                d = jnp.where(inside, d, 2.0)
+                ids = jax.lax.broadcasted_iota(jnp.int32,
+                                               (x.shape[0], 1), 0)[:, 0]
+                key, idb = RP.pack_keys(pix, d, ids, h * w, x.shape[0])
+                buf = RP.zbuffer_pallas2(pix, key, h * w, chunk=c,
+                                         unroll=u)
+                return buf
+            fn = jax.jit(fn_low)
+        dt = _timeit(fn, (xyz, m))
+        print(f"pallas2 chunk={chunk} unroll={unroll}: {dt*1e3:.2f} ms")
+    _control()
+
+
+def probe_pzb2():
+    """Second-stage sweep: chunk sizes, tile-aligned v3, compaction."""
+    import jax
+    import jax.numpy as jnp
+    from read_tpu.ops import rasterize as R
+    from read_tpu.ops import rasterize_pallas as RP
+    _control()
+    xyz, m, h, w = _scene(b=1)
+    xyz, m = jnp.asarray(xyz), jnp.asarray(m)
+    n = xyz.shape[0]
+
+    def prep(x, mm):
+        ndc, valid = R.project_points(x, mm[0])
+        uu = jnp.floor(w * (ndc[:, 0] + 1) * .5).astype(jnp.int32)
+        vv = jnp.floor(h * (1 - ndc[:, 1]) * .5).astype(jnp.int32)
+        d = (ndc[:, 2] + 1) * .5
+        inside = valid & (uu >= 0) & (uu < w) & (vv >= 0) & (vv < h)
+        pix = jnp.where(inside, vv * w + uu, h * w)
+        d = jnp.where(inside, d, 2.0)
+        ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+        key, idb = RP.pack_keys(pix, d, ids, h * w, n)
+        return pix, key, inside
+
+    for zb, label, kw in [
+        (RP.zbuffer_pallas2, "v2 c=32768 u=4", dict(chunk=32768,
+                                                    unroll=4)),
+        (RP.zbuffer_pallas2, "v2 c=16384 u=2", dict(chunk=16384,
+                                                    unroll=2)),
+        (RP.zbuffer_pallas3, "v3 c=16384 u=4", dict(chunk=16384,
+                                                    unroll=4)),
+        (RP.zbuffer_pallas3, "v3 c=32768 u=4", dict(chunk=32768,
+                                                    unroll=4)),
+    ]:
+        def fn(x, mm, zb=zb, kw=kw):
+            pix, key, _ = prep(x, mm)
+            return zb(pix, key, h * w, **kw)
+        try:
+            dt = _timeit(jax.jit(fn), (xyz, m))
+            print(f"pallas {label}: {dt*1e3:.2f} ms")
+        except Exception as e:
+            print(f"pallas {label}: FAILED {type(e).__name__}: {e}")
+
+    # compaction prepass: sort valid-first (key already INT_MAX for
+    # invalid), kernel skips full-invalid tail chunks for free? measure
+    # the XLA compaction cost alone first.
+    def compact(x, mm):
+        pix, key, inside = prep(x, mm)
+        pos = jnp.cumsum(inside.astype(jnp.int32)) - 1
+        tgt = jnp.where(inside, pos, n - 1)
+        cp = jnp.full((n,), h * w, jnp.int32).at[tgt].set(
+            jnp.where(inside, pix, h * w), mode="drop")
+        ck = jnp.full((n,), 2**31 - 1, jnp.int32).at[tgt].set(
+            jnp.where(inside, key, 2**31 - 1), mode="drop")
+        return cp, ck, jnp.sum(inside.astype(jnp.int32))
+    dt = _timeit(jax.jit(compact), (xyz, m))
+    print(f"compaction prepass alone: {dt*1e3:.2f} ms")
     _control()
 
 
@@ -162,10 +238,12 @@ def probe_frame(b):
     pyr1 = _pyr(1)
     variables = net.init(jax.random.PRNGKey(1), *pyr1, train=False)
 
+    raster = os.environ.get("READ_TPU_RASTER", "pallas")
+
     @jax.jit
     def pyramids(table, xyz, total_m):
         levels = R.rasterize_pyramid_pooled(xyz, total_m, (h, w), 4,
-                                            method="scatter1")
+                                            method=raster)
         return tuple(T.sample_point_texture(table, ix)
                      for ix, _ in levels)
 
@@ -173,14 +251,24 @@ def probe_frame(b):
         def frame(table, xyz, total_m):
             pyr = pyramids(table, xyz, total_m)
             return UP.unet_pallas_apply_seg(variables, *pyr)["im_out"]
-    else:
-        one = lambda *p: UP.unet_pallas_apply_seg(
-            variables, *[x[None] for x in p])["im_out"][0]
-        net_b = jax.vmap(one)
-
+    elif os.environ.get("READ_TPU_BATCH_MODE", "stack") == "loop":
+        # batched raster+gather (ONE executable for all B frames), then
+        # the per-frame unet kernels in a dispatch loop — vmap over the
+        # pallas kernels measured SLOWER per frame (40.5 vs 33.7 ms at
+        # B=2), so the batch win comes from the raster side only.
         def frame(table, xyz, total_m):
             pyr = pyramids(table, xyz, total_m)
-            return net_b(*pyr)
+            outs = [UP.unet_pallas_apply_seg(
+                variables, *[x[i:i + 1] for x in pyr])["im_out"]
+                for i in range(b)]
+            return jnp.concatenate(outs)
+    else:
+        # natively-batched: frames stack along H in the channel-major
+        # layout, ONE kernel grid per conv for the whole batch (no vmap,
+        # no dispatch loop)
+        def frame(table, xyz, total_m):
+            pyr = pyramids(table, xyz, total_m)
+            return UP.unet_pallas_apply_seg(variables, *pyr)["im_out"]
 
     args = (table, jnp.asarray(xyz), jnp.asarray(total_m))
     dt = _timeit(frame, args, iters=10 if b <= 2 else 5)
@@ -195,6 +283,8 @@ if __name__ == "__main__":
         probe_raster()
     elif mode == "pallaszb":
         probe_pallaszb()
+    elif mode == "pzb2":
+        probe_pzb2()
     elif mode == "unet":
         probe_unet(int(sys.argv[2]))
     elif mode == "frame":

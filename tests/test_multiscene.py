@@ -92,3 +92,69 @@ def test_two_scene_training(two_scene_dir, tmp_path):
     # sync propagated the same final params into both checkpoints
     np.testing.assert_allclose(fa["params/feat0/conv_fm/kernel"],
                                fb["params/feat0/conv_fm/kernel"])
+
+
+def test_scene_state_store_offload():
+    """SceneStateStore: beyond-budget scenes' textures live as host numpy;
+    activate() re-uploads and evicts LRU (the max_ds swap analogue)."""
+    import jax
+    import jax.numpy as jnp
+    from read_tpu.pipelines import texture_pipeline as TP
+    from read_tpu.train import SceneStateStore
+
+    cfg = TP.PipelineConfig(crop_size=(16, 16), vgg_ratio=0.0)
+    store = SceneStateStore(budget=1)
+    for sid, n in ((0, 64), (1, 96), (2, 128)):
+        st, _ = TP.create_state(jax.random.PRNGKey(sid), cfg, n_points=n)
+        store[sid] = st
+    # only the most recent stays device-resident
+    assert store.resident_ids == (2,)
+    assert store.is_offloaded(0) and store.is_offloaded(1)
+    assert not store.is_offloaded(2)
+    st0 = store.activate(0)
+    assert isinstance(st0.texture, jax.Array)
+    assert store.resident_ids == (0,)
+    assert store.is_offloaded(2)  # evicted
+    # the round-trip is lossless
+    st2 = store.activate(2)
+    st_fresh, _ = TP.create_state(jax.random.PRNGKey(2), cfg, n_points=128)
+    np.testing.assert_array_equal(np.asarray(st2.texture),
+                                  np.asarray(st_fresh.texture))
+
+
+@pytest.mark.slow
+def test_offload_matches_resident(two_scene_dir, tmp_path):
+    """--max-scenes-hbm 1 must reproduce the all-resident run bitwise
+    when the net is frozen (texture updates depend only on the scene's
+    own batch stream, which scheduling chunks preserve)."""
+    from read_tpu import train as TR
+    from read_tpu.utils import ckpt as CK
+
+    outs = {}
+    for tag, extra in (("resident", []),
+                       ("offload", ["--max-scenes-hbm", "1"])):
+        rc = TR.main([
+            "--paths-file", str(two_scene_dir / "paths.yaml"),
+            "--crop-size", "32x32",
+            "--batch-size", "1",
+            "--epochs", "1",
+            "--criterion", "huber_only",
+            "--splitter", "split_by_step",
+            "--save-dir", str(tmp_path / f"logs_{tag}"),
+            "--log-freq", "99",
+            "--headless-platform", "cpu",
+            "--freeze-net",
+            "--name", tag,
+        ] + extra)
+        assert rc == 0
+        root = tmp_path / f"logs_{tag}"
+        exp = root / os.listdir(root)[0]
+        ck = exp / "checkpoints"
+        outs[tag] = {
+            s: CK.load_checkpoint(
+                str(ck / sorted(c for c in os.listdir(ck)
+                                if f"best_scene_{s}" in c)[0]))[0]
+            for s in ("a", "b")}
+    for s in ("a", "b"):
+        np.testing.assert_array_equal(
+            outs["resident"][s]["texture"], outs["offload"][s]["texture"])

@@ -201,3 +201,72 @@ def test_unet_pallas_s2d_matches_flax(monkeypatch):
     np.testing.assert_allclose(np.asarray(out["im_out"]),
                                np.asarray(ref["im_out"]),
                                atol=5e-4, rtol=1e-3)
+
+
+def test_gated_conv3x3_chw_frames_oracle():
+    """frames=2 stacked-H batch == two independent single-frame convs
+    (the dy halos must NOT leak across the frame boundary)."""
+    rng = np.random.default_rng(21)
+    cin, cout, hf, w, B = 8, 4, 8, 16, 2
+    x = rng.normal(size=(B, hf, w, cin)).astype(np.float32)
+    wk = rng.normal(size=(3, 3, cin, 2 * cout)).astype(np.float32) * 0.2
+    b = rng.normal(size=2 * cout).astype(np.float32)
+    scale, offset = _bn_affine(rng, cout)
+
+    refs = []
+    for i in range(B):
+        xc = jnp.asarray(x[i].transpose(2, 0, 1).reshape(cin, hf * w))
+        refs.append(np.asarray(GP.gated_conv3x3_chw(
+            xc, jnp.asarray(wk), jnp.asarray(b), scale, offset,
+            w_img=w, relu=True, rows=2, interpret=True)))
+
+    x_st = jnp.asarray(np.transpose(x, (3, 0, 1, 2))
+                       .reshape(cin, B * hf * w))
+    out = GP.gated_conv3x3_chw(x_st, jnp.asarray(wk), jnp.asarray(b),
+                               scale, offset, w_img=w, relu=True,
+                               rows=2, frames=B, interpret=True)
+    out = np.asarray(out).reshape(cout, B, hf * w)
+    for i in range(B):
+        np.testing.assert_allclose(out[:, i], refs[i], atol=2e-5,
+                                   rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_unet_pallas_batched_frames_matches_flax():
+    """B=2 stacked-frames forward == the flax oracle on the same batch
+    (the natively-batched inference path: one kernel grid for all B)."""
+    rng = np.random.default_rng(4)
+    h, w = 32, 64
+    pyr = [jnp.asarray(rng.normal(size=(2, h // f, w // f, 8))
+                       .astype(np.float32)) for f in (1, 2, 4, 8)]
+    net = UNet()
+    variables = net.init(jax.random.PRNGKey(0),
+                         *[p[:1] for p in pyr], train=False)
+    ref = net.apply(variables, *pyr, train=False)
+    out = UP.unet_pallas_apply(variables, *pyr, interpret=True)
+    assert out["im_out"].shape == ref["im_out"].shape
+    np.testing.assert_allclose(np.asarray(out["im_out"]),
+                               np.asarray(ref["im_out"]),
+                               atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_unet_pallas_batched_frames_s2d(monkeypatch):
+    """B=2 stacked frames with the s2d strided path ON (the production
+    seg forward): frame heights are even so the s2d row pairing must
+    stay frame-aligned."""
+    monkeypatch.setenv("READ_TPU_PALLAS_S2D", "1")
+    rng = np.random.default_rng(6)
+    h, w = 32, 64
+    pyr = [jnp.asarray(rng.normal(size=(2, h // f, w // f, 8))
+                       .astype(np.float32)) for f in (1, 2, 4, 8)]
+    net = UNet()
+    variables = net.init(jax.random.PRNGKey(0),
+                         *[p[:1] for p in pyr], train=False)
+    ref = net.apply(variables, *pyr, train=False)
+    UP.unet_pallas_apply.clear_cache()
+    out = UP.unet_pallas_apply(variables, *pyr, interpret=True)
+    UP.unet_pallas_apply.clear_cache()
+    np.testing.assert_allclose(np.asarray(out["im_out"]),
+                               np.asarray(ref["im_out"]),
+                               atol=5e-4, rtol=1e-3)
