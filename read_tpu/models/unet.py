@@ -58,7 +58,8 @@ def _bilinear_up4(x: jax.Array) -> jax.Array:
 
 
 def _im2col_conv(x: jax.Array, kernel: jax.Array, bias, stride: int,
-                 dilation: int, pad: int, dtype) -> jax.Array:
+                 dilation: int, pad: int, dtype,
+                 mxu_bf16: bool = False) -> jax.Array:
     """Convolution as explicit im2col + one MXU matmul.
 
     On this TPU stack XLA lowers isolated ``conv_general_dilated`` calls
@@ -88,11 +89,15 @@ def _im2col_conv(x: jax.Array, kernel: jax.Array, bias, stride: int,
                  ox + (wo - 1) * stride + 1, cin),
                 (1, stride, stride, 1)))
     patches = jnp.concatenate(cols, axis=-1).astype(dtype)
+    # mxu_bf16: bf16 MXU inputs + f32 accumulate (inference fast path;
+    # an f32 TPU matmul is a 3-pass bf16 decomposition, so this is ~3x)
+    mm_dt = jnp.bfloat16 if mxu_bf16 else dtype
     out = jax.lax.dot_general(
-        patches.reshape(b * ho * wo, kh * kw * cin),
-        kernel.reshape(kh * kw * cin, cout).astype(dtype),
+        patches.reshape(b * ho * wo, kh * kw * cin).astype(mm_dt),
+        kernel.reshape(kh * kw * cin, cout).astype(mm_dt),
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=dtype)
+        preferred_element_type=jnp.float32 if mxu_bf16 else dtype
+    ).astype(dtype)
     out = out.reshape(b, ho, wo, cout)
     if bias is not None:
         out = out + bias.astype(dtype)

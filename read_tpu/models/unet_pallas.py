@@ -121,13 +121,18 @@ class _Ctx:
     and 1x1 matmuls are frame-oblivious in this layout."""
 
     def __init__(self, params, stats, dtype, interpret, s2d=False,
-                 frames=1):
+                 frames=1, mxu_bf16=False):
         self.params = params
         self.stats = stats
         self.dtype = dtype
         self.interpret = interpret
         self.s2d = s2d  # explicit opt-in (seg path); OR'd with the env knob
         self.frames = frames
+        # bf16 MXU inputs, f32 activations/accumulate (dtype_name
+        # 'bf16_mxu'): the cast happens in-register right before each
+        # dot — no bf16 VMEM ref exists, avoiding the round-3 Mosaic
+        # bf16-tiling fault while tripling the matmul rate
+        self.mxu_bf16 = mxu_bf16
 
     def conv(self, name: str, x: jax.Array, relu: bool,
              stride: int = 1,
@@ -150,12 +155,13 @@ class _Ctx:
             out = GP.gated_conv3x3_chw(
                 x.reshape(cin, h * wd), w, b, scale, offset, res2d,
                 w_img=wd, relu=relu, gated=True, frames=self.frames,
-                interpret=self.interpret)
+                interpret=self.interpret, mxu_bf16=self.mxu_bf16)
             return out.reshape(-1, h, wd)
         if stride == 1 and k == 1:
             out = GP.gated_conv1x1_chw(
                 x.reshape(cin, h * wd), w, b, scale, offset, res2d,
-                relu=relu, gated=True, interpret=self.interpret)
+                relu=relu, gated=True, interpret=self.interpret,
+                mxu_bf16=self.mxu_bf16)
             return out.reshape(-1, h, wd)
         hf = h // self.frames  # rows per frame (stacked along H)
         if (stride == 2 and k in (3, 4) and hf % 2 == 0 and wd % 2 == 0
@@ -179,7 +185,8 @@ class _Ctx:
                 out = GP.gated_conv3x3_chw(
                     xs, _s2d_weights(w), b, scale, offset,
                     w_img=wd // 2, relu=relu, gated=True,
-                    frames=self.frames, interpret=self.interpret)
+                    frames=self.frames, interpret=self.interpret,
+                    mxu_bf16=self.mxu_bf16)
                 return out.reshape(-1, h // 2, wd // 2)
         # fallback: im2col matmul in NHWC (per-frame real batch: a k>1
         # or strided conv over the stacked H would leak between frames)
@@ -187,7 +194,7 @@ class _Ctx:
         xn = jnp.transpose(x.reshape(cin, self.frames, hf, wd),
                            (1, 2, 3, 0))  # [B, hf, W, C]
         fm = _im2col_conv(xn, w.astype(self.dtype), b, stride, 1, pad,
-                          self.dtype)
+                          self.dtype, mxu_bf16=self.mxu_bf16)
         c = fm.shape[-1] // 2
         f, m = fm[..., :c], fm[..., c:]
         if relu:
@@ -234,11 +241,13 @@ class _Ctx:
         scale, offset = _fold_bn(p, s)
         w2 = w.reshape(w.shape[2], w.shape[3])  # [ctot, C2]
         acc, coff = None, 0
+        mm_dt = jnp.bfloat16 if self.mxu_bf16 else self.dtype
         for x, mode, f in parts:
             c = x.shape[0]
-            wj = w2[coff:coff + c].astype(self.dtype)
+            wj = w2[coff:coff + c].astype(mm_dt)
             coff += c
-            a = jnp.einsum("cn,cd->dn", x.reshape(c, -1), wj,
+            a = jnp.einsum("cn,cd->dn",
+                           x.reshape(c, -1).astype(mm_dt), wj,
                            preferred_element_type=jnp.float32)
             a = self._resample(a.reshape(-1, x.shape[1], x.shape[2]),
                                mode, f)
@@ -276,7 +285,7 @@ class _Ctx:
         out = GP.gated_conv1x1_cat_chw(
             tuple(x.reshape(x.shape[0], h * wd) for x in xs),
             w, b, scale, offset, res2d, relu=relu, gated=True,
-            interpret=self.interpret)
+            interpret=self.interpret, mxu_bf16=self.mxu_bf16)
         return out.reshape(-1, h, wd)
 
 
@@ -399,6 +408,11 @@ def _bilinear_up4(x, frames: int = 1):
 
 
 def _check_dtype(dtype_name: str, interpret: bool):
+    if dtype_name == "bf16_mxu":
+        # bf16 MXU inputs + f32 activations/accumulate: every ref and
+        # scratch stays f32 (no bf16 Mosaic tiling anywhere); only the
+        # dot operands are cast in-register. Safe on TPU.
+        return
     if dtype_name == "bfloat16" and not interpret:
         # Round-3 finding: the packed-lane kernels compile in bf16 but
         # FAULT the TPU worker at run time (Mosaic bf16 (16,128) tiling
@@ -423,7 +437,8 @@ def _encoder_seg(variables: Dict, x, x_2, x_4, x_8, num_res: int,
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     params, stats = variables["params"], variables["batch_stats"]
     frames = x.shape[0]
-    ctx = _Ctx(params, stats, dtype, interpret, s2d, frames)
+    ctx = _Ctx(params, stats, dtype, interpret, s2d, frames,
+               mxu_bf16=dtype_name == "bf16_mxu")
 
     def chw(t):
         b, h, w, c = t.shape
@@ -462,7 +477,8 @@ def _decoder_seg(variables: Dict, res1, res2, res3, z, num_res: int,
     """Decoder half: (res1, res2, res3, z) -> output dict (NHWC)."""
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     params, stats = variables["params"], variables["batch_stats"]
-    ctx = _Ctx(params, stats, dtype, interpret, s2d, frames)
+    ctx = _Ctx(params, stats, dtype, interpret, s2d, frames,
+               mxu_bf16=dtype_name == "bf16_mxu")
 
     # downsamples are cheap slices (taken BEFORE the AFF matmul);
     # the upsampled inputs never materialize — conv1x1_comb contracts

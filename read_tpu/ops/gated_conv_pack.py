@@ -88,9 +88,23 @@ def pick_rows(w_img: int, cin: int = 32,
     return nr
 
 
+def _mxu(x, mxu_bf16: bool):
+    """Cast an MXU operand to bf16 IN REGISTERS (never through a ref).
+
+    The TPU MXU multiplies natively in bf16; an f32 matmul lowers to a
+    3-pass bf16 decomposition, so inference that tolerates bf16 inputs
+    (f32 accumulation is kept via preferred_element_type) gets ~3x the
+    matmul rate. Crucially the cast happens on the VALUE right before
+    the dot — no bf16 VMEM ref is ever created, which is what faulted
+    the worker in round 3 (Mosaic bf16 (16,128) tiling vs the kernel's
+    odd lane-offset tap slices, RESULTS_r03.md)."""
+    return x.astype(jnp.bfloat16) if mxu_bf16 else x
+
+
 def _conv3x3_chw_kernel(*refs, nt: int, hb: int, w_img: int,
                         cins: tuple, relu: bool, gated: bool,
-                        has_res: bool, out_dtype, bpf: int = 0):
+                        has_res: bool, out_dtype, bpf: int = 0,
+                        mxu_bf16: bool = False):
     """One grid step: output lanes [i*NT, (i+1)*NT) of ``[C2, HW]``.
 
     Takes ``len(cins)`` logical inputs (a channel-concat conv without
@@ -164,7 +178,7 @@ def _conv3x3_chw_kernel(*refs, nt: int, hb: int, w_img: int,
         coff += cins[j]
 
     acc = jax.lax.dot_general(
-        w_ref[:], tap9[:],
+        _mxu(w_ref[:], mxu_bf16), _mxu(tap9[:], mxu_bf16),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     out = _epilogue_chw(acc, b_ref[:], s_ref[:], o_ref[:], relu, gated)
@@ -200,13 +214,14 @@ def _unpad_frame_rows(y: jax.Array, frames: int, h: int, w_img: int,
 @functools.partial(
     jax.jit,
     static_argnames=("w_img", "relu", "gated", "rows", "frames",
-                     "interpret"))
+                     "interpret", "mxu_bf16"))
 def gated_conv3x3_chw(x: jax.Array, w: jax.Array, b: jax.Array,
                       scale: jax.Array, offset: jax.Array,
                       res: Optional[jax.Array] = None, *,
                       w_img: int, relu: bool = True, gated: bool = True,
                       rows: int = 0, frames: int = 1,
-                      interpret: bool = False) -> jax.Array:
+                      interpret: bool = False,
+                      mxu_bf16: bool = False) -> jax.Array:
     """Fused 3x3/stride-1 gated conv + BN affine, channel-major.
 
     Args:
@@ -253,7 +268,7 @@ def gated_conv3x3_chw(x: jax.Array, w: jax.Array, b: jax.Array,
     kern = functools.partial(
         _conv3x3_chw_kernel, nt=nt, hb=hb, w_img=w_img, cins=(cin,),
         relu=relu, gated=gated, has_res=res is not None,
-        out_dtype=x.dtype, bpf=bpf)
+        out_dtype=x.dtype, bpf=bpf, mxu_bf16=mxu_bf16)
     blk = (cin, nt)
     in_specs = [
         pl.BlockSpec((cin, hb),
@@ -310,14 +325,14 @@ def gated_conv3x3_chw(x: jax.Array, w: jax.Array, b: jax.Array,
 
 
 def _conv1x1_chw_kernel(*refs, relu: bool, gated: bool, has_res: bool,
-                        out_dtype):
+                        out_dtype, mxu_bf16: bool = False):
     if has_res:
         x_ref, w_ref, b_ref, s_ref, o_ref, res_ref, out_ref = refs
     else:
         x_ref, w_ref, b_ref, s_ref, o_ref, out_ref = refs
         res_ref = None
     acc = jax.lax.dot_general(
-        w_ref[:], x_ref[:],
+        _mxu(w_ref[:], mxu_bf16), _mxu(x_ref[:], mxu_bf16),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     out = _epilogue_chw(acc, b_ref[:], s_ref[:], o_ref[:], relu, gated)
@@ -328,13 +343,13 @@ def _conv1x1_chw_kernel(*refs, relu: bool, gated: bool, has_res: bool,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("relu", "gated", "lanes", "interpret"))
+    static_argnames=("relu", "gated", "lanes", "interpret", "mxu_bf16"))
 def gated_conv1x1_chw(x: jax.Array, w: jax.Array, b: jax.Array,
                       scale: jax.Array, offset: jax.Array,
                       res: Optional[jax.Array] = None, *,
                       relu: bool = True, gated: bool = True,
-                      lanes: int = 8192, interpret: bool = False
-                      ) -> jax.Array:
+                      lanes: int = 8192, interpret: bool = False,
+                      mxu_bf16: bool = False) -> jax.Array:
     """Fused 1x1 gated conv (gated matmul) + BN affine, channel-major.
 
     x ``[Cin, N]``; w ``[1, 1, Cin, C2]`` or ``[Cin, C2]``;
@@ -359,7 +374,8 @@ def gated_conv1x1_chw(x: jax.Array, w: jax.Array, b: jax.Array,
     wr = w.T.astype(x.dtype)  # [C2, Cin]
 
     kern = functools.partial(_conv1x1_chw_kernel, relu=relu, gated=gated,
-                             has_res=res is not None, out_dtype=x.dtype)
+                             has_res=res is not None, out_dtype=x.dtype,
+                             mxu_bf16=mxu_bf16)
     in_specs = [
         pl.BlockSpec((cin, nt), lambda i: (0, i),
                      memory_space=pltpu.VMEM),
@@ -397,7 +413,8 @@ def gated_conv1x1_chw(x: jax.Array, w: jax.Array, b: jax.Array,
 
 
 def _conv1x1_cat_kernel(*refs, k: int, relu: bool, gated: bool,
-                        has_res: bool, out_dtype):
+                        has_res: bool, out_dtype,
+                        mxu_bf16: bool = False):
     """Concat-free 1x1 conv: out = sum_j w_j @ x_j, epilogue fused.
 
     The UNet's channel concats (AFF/SCM/Convs*) all feed 1x1 convs, so
@@ -409,12 +426,12 @@ def _conv1x1_cat_kernel(*refs, k: int, relu: bool, gated: bool,
     res_ref = refs[2 * k + 3] if has_res else None
     out_ref = refs[-1]
     acc = jax.lax.dot_general(
-        ws[0][:], xs[0][:],
+        _mxu(ws[0][:], mxu_bf16), _mxu(xs[0][:], mxu_bf16),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     for j in range(1, k):
         acc = acc + jax.lax.dot_general(
-            ws[j][:], xs[j][:],
+            _mxu(ws[j][:], mxu_bf16), _mxu(xs[j][:], mxu_bf16),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
     out = _epilogue_chw(acc, b_ref[:], s_ref[:], o_ref[:], relu, gated)
@@ -425,13 +442,13 @@ def _conv1x1_cat_kernel(*refs, k: int, relu: bool, gated: bool,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("relu", "gated", "lanes", "interpret"))
+    static_argnames=("relu", "gated", "lanes", "interpret", "mxu_bf16"))
 def gated_conv1x1_cat_chw(xs, w: jax.Array, b: jax.Array,
                           scale: jax.Array, offset: jax.Array,
                           res: Optional[jax.Array] = None, *,
                           relu: bool = True, gated: bool = True,
-                          lanes: int = 8192, interpret: bool = False
-                          ) -> jax.Array:
+                          lanes: int = 8192, interpret: bool = False,
+                          mxu_bf16: bool = False) -> jax.Array:
     """Fused 1x1 gated conv over a LOGICAL channel concat of ``xs``.
 
     xs: tuple of ``[C_j, N]`` channel-major inputs; w: ``[1, 1,
@@ -471,7 +488,7 @@ def gated_conv1x1_cat_chw(xs, w: jax.Array, b: jax.Array,
 
     kern = functools.partial(_conv1x1_cat_kernel, k=k, relu=relu,
                              gated=gated, has_res=res is not None,
-                             out_dtype=dtype)
+                             out_dtype=dtype, mxu_bf16=mxu_bf16)
     in_specs = [pl.BlockSpec((c, nt), lambda i: (0, i),
                              memory_space=pltpu.VMEM) for c in cins]
     in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * (k + 3)
