@@ -401,6 +401,68 @@ def rasterize(xyz: jax.Array, total_m: jax.Array, h: int, w: int,
     return index[:h * w].reshape(h, w), dout[:h * w].reshape(h, w)
 
 
+def _rasterize_batch_pallas_splat(xyz, total_m, h, w, point_radius,
+                                  ndc_jitter, point_sizes, relative_size,
+                                  min_point_size):
+    """Batched pallas z-buffer for splatted / per-point-sized points.
+
+    Same coverage rule as :func:`rasterize`'s splat loop (GL parity,
+    ``READ/gl/programs.py:183-192``) but built with a batch dimension:
+    the (2r+1)^2 offset expansion concatenates along the point axis to
+    ``[B, N*K]`` and ONE natively-batched kernel resolves every view.
+    """
+    from read_tpu.ops import rasterize_pallas as _RP
+    b = total_m.shape[0]
+    n = xyz.shape[0]
+    ndc, valid, clip_z = jax.vmap(
+        lambda m: project_points(xyz, m, return_clip_z=True))(total_m)
+    if ndc_jitter is not None:
+        ndc = ndc.at[:, :, :2].add(ndc_jitter[None])
+    u = jnp.floor(w * (ndc[..., 0] + 1.0) * 0.5).astype(jnp.int32)
+    v = jnp.floor(h * (1.0 - ndc[..., 1]) * 0.5).astype(jnp.int32)
+    depth0 = (ndc[..., 2] + 1.0) * 0.5
+    ids = jnp.broadcast_to(
+        jax.lax.broadcasted_iota(jnp.int32, (1, n), 1), (b, n))
+    rad = None
+    if point_sizes is not None or relative_size:
+        if point_sizes is not None:
+            base = jnp.broadcast_to(
+                jnp.asarray(point_sizes, jnp.float32)[None], (b, n))
+        else:
+            base = jnp.full((b, n), float(2 * point_radius + 1),
+                            jnp.float32)
+        if relative_size:
+            size = jnp.maximum(jnp.float32(min_point_size),
+                               base / jnp.maximum(clip_z, 1e-6))
+        else:
+            size = base
+        size = jnp.minimum(size, float(2 * point_radius + 1))
+        rad = (size - 1.0) * 0.5
+    offsets = [(dy, dx)
+               for dy in range(-point_radius, point_radius + 1)
+               for dx in range(-point_radius, point_radius + 1)]
+    pix_all, dep_all = [], []
+    for dy, dx in offsets:
+        uu, vv = u + dx, v + dy
+        inside = valid & (uu >= 0) & (uu < w) & (vv >= 0) & (vv < h)
+        if rad is not None and (dy or dx):
+            inside &= rad >= (max(abs(dy), abs(dx)) - 1e-4)
+        pix_all.append(jnp.where(inside, vv * w + uu, h * w))
+        dep_all.append(jnp.where(inside, depth0, _FAR))
+    pix = jnp.concatenate(pix_all, axis=1)
+    dep = jnp.concatenate(dep_all, axis=1)
+    ids_rep = jnp.tile(ids, (1, len(offsets)))
+    key, idb = _RP.pack_keys(pix, dep, ids_rep, h * w, n)
+    buf = _RP.zbuffer_pallas2(jnp.minimum(pix, h * w), key, h * w)
+    empty = buf == jnp.iinfo(jnp.int32).max
+    index = jnp.where(empty, -1, buf & ((1 << idb) - 1))
+    dby = jnp.where(valid, depth0, 0.0)
+    dout = jnp.where(
+        empty, 0.0,
+        jnp.take_along_axis(dby, jnp.maximum(index, 0), axis=1))
+    return index.reshape(b, h, w), dout.reshape(b, h, w)
+
+
 def rasterize_batch(xyz: jax.Array, total_m: jax.Array, h: int, w: int,
                     point_radius: int = 0, method: str = "sort",
                     ndc_jitter: jax.Array = None,
@@ -416,6 +478,15 @@ def rasterize_batch(xyz: jax.Array, total_m: jax.Array, h: int, w: int,
     """
     _check_method(method)
     varying = point_sizes is not None or relative_size
+    if (method == "pallas" and total_m.ndim == 3
+            and jax.default_backend() == "tpu"
+            and (varying or point_radius > 0)):
+        # splats: build the batched [B, N*K] offset expansion here and
+        # feed the natively-batched kernel — vmapping the single-view
+        # kernel fails Mosaic's SMEM block-batching rule.
+        return _rasterize_batch_pallas_splat(
+            xyz, total_m, h, w, point_radius, ndc_jitter, point_sizes,
+            relative_size, min_point_size)
     if varying:
         f = functools.partial(
             rasterize, h=h, w=w, point_radius=point_radius,

@@ -89,3 +89,42 @@ def test_method_pallas_cpu_fallback(rng):
     i2, d2 = R.rasterize(jnp.asarray(xyz), m, h, w, method="pallas")
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+
+@pytest.mark.parametrize("kw", [
+    dict(point_radius=1),
+    dict(point_radius=1, point_sizes=True),
+    dict(point_radius=2, relative_size=True, point_sizes=True,
+         min_point_size=1.0),
+])
+def test_batched_splat_pallas_matches_scatter1(rng, monkeypatch, kw):
+    """The natively-batched splat expansion (rasterize_batch method=
+    'pallas' with radius>0 / per-point sizes) is bit-identical to the
+    vmapped XLA scatter1 path. Regression: vmapping the single-view
+    kernel fails Mosaic's SMEM block-batching rule."""
+    import functools
+    from read_tpu.ops import rasterize as RR
+    n, h, w = 3000, 24, 40
+    xyz = rng.uniform(-2, 2, size=(n, 3)).astype(np.float32)
+    xyz[:, 2] -= 6.0
+    K = np.array([[20.0, 0, w / 2], [0, 20.0, h / 2], [0, 0, 1]])
+    P = camera.gl_projection(K, (w, h), 0.1, 50.0)
+    m1 = camera.total_matrix(P, np.eye(4)).astype(np.float32)
+    v2 = np.eye(4)
+    v2[0, 3] = 0.3
+    m2 = camera.total_matrix(P, v2).astype(np.float32)
+    ms = jnp.asarray(np.stack([m1, m2]))
+    kw = dict(kw)
+    if kw.pop("point_sizes", False):
+        kw["point_sizes"] = jnp.where(jnp.arange(n) % 3 == 0, 3.0, 1.0)
+    isc, dsc = R.rasterize_batch(jnp.asarray(xyz), ms, h, w,
+                                 method="scatter1", **kw)
+    monkeypatch.setattr(RP, "zbuffer_pallas2",
+                        functools.partial(RP.zbuffer_pallas2,
+                                          interpret=True))
+    ipl, dpl = RR._rasterize_batch_pallas_splat(
+        jnp.asarray(xyz), ms, h, w, kw.pop("point_radius"), None,
+        kw.get("point_sizes"), kw.get("relative_size", False),
+        kw.get("min_point_size", 1.0))
+    np.testing.assert_array_equal(np.asarray(isc), np.asarray(ipl))
+    np.testing.assert_array_equal(np.asarray(dsc), np.asarray(dpl))
