@@ -72,6 +72,17 @@ def _S2D_ENABLED(name: str = "") -> bool:
     return bool(name) and name.split("/")[-1] in v.split(",")
 
 
+def _CONV3_IMPL() -> str:
+    """3x3 kernel formulation: READ_TPU_CONV3_IMPL in {pack9, dot3}.
+
+    ``dot3`` assembles a dy-stacked [3C, NT+2] window and contracts the
+    dx taps as three K=3C dots (same MXU pass count, ~3x less scratch
+    traffic than pack9's 9-tap scratch); oracle-exact both ways
+    (tests/test_unet_pallas.py)."""
+    import os
+    return os.environ.get("READ_TPU_CONV3_IMPL", "pack9")
+
+
 def _CAT11_ENABLED(name: str = "") -> bool:
     """Concat-free 1x1 convs: opt-in via READ_TPU_PALLAS_CAT11.
 
@@ -155,7 +166,8 @@ class _Ctx:
             out = GP.gated_conv3x3_chw(
                 x.reshape(cin, h * wd), w, b, scale, offset, res2d,
                 w_img=wd, relu=relu, gated=True, frames=self.frames,
-                interpret=self.interpret, mxu_bf16=self.mxu_bf16)
+                interpret=self.interpret, mxu_bf16=self.mxu_bf16,
+                impl=_CONV3_IMPL())
             return out.reshape(-1, h, wd)
         if stride == 1 and k == 1:
             out = GP.gated_conv1x1_chw(
@@ -186,7 +198,7 @@ class _Ctx:
                     xs, _s2d_weights(w), b, scale, offset,
                     w_img=wd // 2, relu=relu, gated=True,
                     frames=self.frames, interpret=self.interpret,
-                    mxu_bf16=self.mxu_bf16)
+                    mxu_bf16=self.mxu_bf16, impl=_CONV3_IMPL())
                 return out.reshape(-1, h // 2, wd // 2)
         # fallback: im2col matmul in NHWC (per-frame real batch: a k>1
         # or strided conv over the stacked H would leak between frames)

@@ -187,6 +187,86 @@ def _conv3x3_chw_kernel(*refs, nt: int, hb: int, w_img: int,
     out_ref[:, :] = out.astype(out_dtype)
 
 
+def _conv3x3_chw_dot3_kernel(*refs, nt: int, hb: int, w_img: int,
+                             cins: tuple, relu: bool, gated: bool,
+                             has_res: bool, out_dtype, bpf: int = 0,
+                             mxu_bf16: bool = False):
+    """3-dot variant of :func:`_conv3x3_chw_kernel` (``impl='dot3'``).
+
+    The pack9 kernel's dominant non-MXU cost is the tap9 scratch: 9
+    stores of ``[C, NT]`` lane-offset slices (~9C*NT lanes written +
+    read back per block). This variant assembles only a dy-stacked
+    window ``win3 [3*C, NT+2]`` (~3C*NT lanes, 7 stores) where
+    ``win3[(dy+1)*C + c, q] = x[c, q - 1 + dy*W]``, then contracts the
+    three dx taps as three MXU dots against the ±1-lane slices of
+    ``win3`` — at C=32 that is 3 single-pass K=96 dots vs one 3-pass
+    K=288 dot: identical MXU occupancy, ~3x less scratch traffic.
+    Same math, borders, frame masking, and epilogue as pack9.
+    """
+    k = len(cins)
+    xrefs, rest = refs[:3 * k], refs[3 * k:]
+    if has_res:
+        w_ref, b_ref, s_ref, o_ref, res_ref, out_ref = rest[:6]
+        scratch = rest[6:]
+    else:
+        w_ref, b_ref, s_ref, o_ref, out_ref = rest[:5]
+        res_ref = None
+        scratch = rest[5:]
+    win3 = scratch[0]
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    wv = w_img
+    ctot = sum(cins)
+    if bpf:
+        is_first = (i % bpf) == 0
+        is_last = (i % bpf) == bpf - 1
+    else:
+        is_first = i == 0
+        is_last = i == n - 1
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, nt), 1) % wv
+    not_left = (col != 0).astype(win3.dtype)
+    not_right = (col != wv - 1).astype(win3.dtype)
+    coff = 0
+    for j in range(k):
+        xprev_ref, xmid_ref, xnext_ref = xrefs[3 * j:3 * j + 3]
+        c = cins[j]
+        r0 = coff                # dy = -1 rows
+        r1 = ctot + coff         # dy =  0 rows
+        r2 = 2 * ctot + coff     # dy = +1 rows
+        # dy=-1: win3[q] = x[q - 1 - W]
+        win3[r0:r0 + c, 0:1 + wv] = jnp.where(
+            ~is_first, xprev_ref[:, hb - wv - 1:], 0.0)
+        win3[r0:r0 + c, 1 + wv:2 + nt] = xmid_ref[:, :nt - wv + 1]
+        # dy=0: win3[q] = x[q - 1]
+        win3[r1:r1 + c, 0:1] = jnp.where(
+            ~is_first, xprev_ref[:, hb - 1:], 0.0)
+        win3[r1:r1 + c, 1:1 + nt] = xmid_ref[:, :]
+        win3[r1:r1 + c, 1 + nt:2 + nt] = jnp.where(
+            ~is_last, xnext_ref[:, :1], 0.0)
+        # dy=+1: win3[q] = x[q - 1 + W]
+        win3[r2:r2 + c, 0:1 + nt - wv] = xmid_ref[:, wv - 1:]
+        win3[r2:r2 + c, 1 + nt - wv:2 + nt] = jnp.where(
+            ~is_last, xnext_ref[:, :wv + 1], 0.0)
+        coff += c
+
+    acc = None
+    for t, dx in enumerate((-1, 0, 1)):
+        tap = win3[:, 1 + dx:1 + dx + nt]
+        if dx == -1:
+            tap = tap * not_left
+        elif dx == 1:
+            tap = tap * not_right
+        d = jax.lax.dot_general(
+            _mxu(w_ref[t], mxu_bf16), _mxu(tap, mxu_bf16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = d if acc is None else acc + d
+    out = _epilogue_chw(acc, b_ref[:], s_ref[:], o_ref[:], relu, gated)
+    if res_ref is not None:
+        out = out + res_ref[:, :]
+    out_ref[:, :] = out.astype(out_dtype)
+
+
 def _pad_frame_rows(x: jax.Array, frames: int, h: int, w_img: int,
                     hpad: int) -> jax.Array:
     """Zero-pad each stacked frame from ``h`` to ``h+hpad`` rows.
@@ -214,14 +294,15 @@ def _unpad_frame_rows(y: jax.Array, frames: int, h: int, w_img: int,
 @functools.partial(
     jax.jit,
     static_argnames=("w_img", "relu", "gated", "rows", "frames",
-                     "interpret", "mxu_bf16"))
+                     "interpret", "mxu_bf16", "impl"))
 def gated_conv3x3_chw(x: jax.Array, w: jax.Array, b: jax.Array,
                       scale: jax.Array, offset: jax.Array,
                       res: Optional[jax.Array] = None, *,
                       w_img: int, relu: bool = True, gated: bool = True,
                       rows: int = 0, frames: int = 1,
                       interpret: bool = False,
-                      mxu_bf16: bool = False) -> jax.Array:
+                      mxu_bf16: bool = False,
+                      impl: str = "pack9") -> jax.Array:
     """Fused 3x3/stride-1 gated conv + BN affine, channel-major.
 
     Args:
@@ -256,19 +337,31 @@ def gated_conv3x3_chw(x: jax.Array, w: jax.Array, b: jax.Array,
     # (hr = nr is the fetch-the-whole-neighbour fallback, used when an
     # explicit ``rows`` override is not a multiple of the minimum)
     hr = 128 // math.gcd(w_img, 128)
+    if impl == "dot3" and hr * w_img < w_img + 1:
+        # dot3's dy=-1 corner tap reads one lane beyond a full halo row
+        hr = 2 if nr % 2 == 0 else nr
     if nr % hr:
         hr = nr
     hb = hr * w_img
     rpb = nr // hr  # halo blocks per mid block
-    # [3,3,Cin,C2] -> [C2, 9*Cin] with (dy, dx, ci) tap order matching
-    # the kernel's tap9 packing
-    wr = jnp.transpose(w, (3, 0, 1, 2)).reshape(c2, 9 * cin).astype(
-        x.dtype)
-
-    kern = functools.partial(
-        _conv3x3_chw_kernel, nt=nt, hb=hb, w_img=w_img, cins=(cin,),
-        relu=relu, gated=gated, has_res=res is not None,
-        out_dtype=x.dtype, bpf=bpf, mxu_bf16=mxu_bf16)
+    if impl == "dot3":
+        # per-dx [C2, 3*Cin] with (dy, ci) row order matching win3
+        wr = jnp.transpose(w, (1, 3, 0, 2)).reshape(
+            3, c2, 3 * cin).astype(x.dtype)
+        kern = functools.partial(
+            _conv3x3_chw_dot3_kernel, nt=nt, hb=hb, w_img=w_img,
+            cins=(cin,), relu=relu, gated=gated,
+            has_res=res is not None, out_dtype=x.dtype, bpf=bpf,
+            mxu_bf16=mxu_bf16)
+    else:
+        # [3,3,Cin,C2] -> [C2, 9*Cin] with (dy, dx, ci) tap order
+        # matching the kernel's tap9 packing
+        wr = jnp.transpose(w, (3, 0, 1, 2)).reshape(
+            c2, 9 * cin).astype(x.dtype)
+        kern = functools.partial(
+            _conv3x3_chw_kernel, nt=nt, hb=hb, w_img=w_img, cins=(cin,),
+            relu=relu, gated=gated, has_res=res is not None,
+            out_dtype=x.dtype, bpf=bpf, mxu_bf16=mxu_bf16)
     blk = (cin, nt)
     in_specs = [
         pl.BlockSpec((cin, hb),
@@ -304,10 +397,11 @@ def gated_conv3x3_chw(x: jax.Array, w: jax.Array, b: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
             (cout, frames * (h + hpad) * w_img), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((cin, nt + 2 * w_img + 2), x.dtype),
-            pltpu.VMEM((9 * cin, nt), x.dtype),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((3 * cin, nt + 2), x.dtype)]
+            if impl == "dot3" else
+            [pltpu.VMEM((cin, nt + 2 * w_img + 2), x.dtype),
+             pltpu.VMEM((9 * cin, nt), x.dtype)]),
         cost_estimate=pl.CostEstimate(
             flops=2 * hw * 9 * cin * c2,
             bytes_accessed=int(

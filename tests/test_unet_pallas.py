@@ -23,7 +23,8 @@ def _bn_affine(rng, c):
 
 @pytest.mark.parametrize("cin,cout,h,w", [(8, 4, 8, 16), (32, 32, 6, 9)])
 @pytest.mark.parametrize("relu", [True, False])
-def test_gated_conv3x3_chw_oracle(cin, cout, h, w, relu):
+@pytest.mark.parametrize("impl", ["pack9", "dot3"])
+def test_gated_conv3x3_chw_oracle(cin, cout, h, w, relu, impl):
     rng = np.random.default_rng(cin + cout + relu)
     x = rng.normal(size=(1, h, w, cin)).astype(np.float32)
     wk = rng.normal(size=(3, 3, cin, 2 * cout)).astype(np.float32) * 0.2
@@ -42,7 +43,7 @@ def test_gated_conv3x3_chw_oracle(cin, cout, h, w, relu):
     x_chw = jnp.asarray(x[0].transpose(2, 0, 1).reshape(cin, h * w))
     out = GP.gated_conv3x3_chw(x_chw, jnp.asarray(wk), jnp.asarray(b),
                                scale, offset, w_img=w, relu=relu,
-                               rows=2, interpret=True)
+                               rows=2, interpret=True, impl=impl)
     out = np.asarray(out).reshape(cout, h, w).transpose(1, 2, 0)
     np.testing.assert_allclose(out, np.asarray(ref[0]), atol=2e-5,
                                rtol=1e-4)
@@ -203,7 +204,8 @@ def test_unet_pallas_s2d_matches_flax(monkeypatch):
                                atol=5e-4, rtol=1e-3)
 
 
-def test_gated_conv3x3_chw_frames_oracle():
+@pytest.mark.parametrize("impl", ["pack9", "dot3"])
+def test_gated_conv3x3_chw_frames_oracle(impl):
     """frames=2 stacked-H batch == two independent single-frame convs
     (the dy halos must NOT leak across the frame boundary)."""
     rng = np.random.default_rng(21)
@@ -224,7 +226,8 @@ def test_gated_conv3x3_chw_frames_oracle():
                        .reshape(cin, B * hf * w))
     out = GP.gated_conv3x3_chw(x_st, jnp.asarray(wk), jnp.asarray(b),
                                scale, offset, w_img=w, relu=True,
-                               rows=2, frames=B, interpret=True)
+                               rows=2, frames=B, interpret=True,
+                               impl=impl)
     out = np.asarray(out).reshape(cout, B, hf * w)
     for i in range(B):
         np.testing.assert_allclose(out[:, i], refs[i], atol=2e-5,
@@ -270,3 +273,24 @@ def test_unet_pallas_batched_frames_s2d(monkeypatch):
     np.testing.assert_allclose(np.asarray(out["im_out"]),
                                np.asarray(ref["im_out"]),
                                atol=5e-4, rtol=1e-3)
+
+
+def test_gated_conv3x3_chw_dot3_full_lane_width():
+    """dot3 at a 128-divisible image width: the full-row halo block
+    (hr=1) lacks the extra corner lane dy=-1 needs, so the wrapper must
+    bump to a 2-row halo."""
+    rng = np.random.default_rng(3)
+    cin, cout, h, w = 8, 4, 8, 128
+    x = rng.normal(size=(1, h, w, cin)).astype(np.float32)
+    wk = rng.normal(size=(3, 3, cin, 2 * cout)).astype(np.float32) * 0.2
+    b = rng.normal(size=2 * cout).astype(np.float32)
+    scale, offset = _bn_affine(rng, cout)
+    x_chw = jnp.asarray(x[0].transpose(2, 0, 1).reshape(cin, h * w))
+    ref = GP.gated_conv3x3_chw(x_chw, jnp.asarray(wk), jnp.asarray(b),
+                               scale, offset, w_img=w, relu=True,
+                               rows=2, interpret=True)
+    out = GP.gated_conv3x3_chw(x_chw, jnp.asarray(wk), jnp.asarray(b),
+                               scale, offset, w_img=w, relu=True,
+                               rows=2, interpret=True, impl="dot3")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
