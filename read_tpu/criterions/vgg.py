@@ -190,6 +190,25 @@ def vgg_loss(params: list, pred: jax.Array, target: jax.Array,
     return loss
 
 
+def vgg_loss_ens(params_list, pred: jax.Array, target: jax.Array,
+                 backend: str = "caffe", partialconv: bool = False,
+                 per_item: bool = False) -> jax.Array:
+    """Mean of :func:`vgg_loss` over an ensemble of K weight sets.
+
+    Variance reduction for the no-pretrained-weights fallback: a single
+    seeded-random VGG's loss is a noisy perceptual estimate (it drove
+    the round-2 plateau-LR collapse, RESULTS_r03.md); averaging K
+    independent random feature sets reduces metric/gradient variance
+    ~K-fold for K extra forward cost. ``--criterion vgg_ens``. No
+    reference counterpart (the reference always has pretrained VGG)."""
+    loss = None
+    for p in params_list:
+        l = vgg_loss(p, pred, target, backend=backend,
+                     partialconv=partialconv, per_item=per_item)
+        loss = l if loss is None else loss + l
+    return loss / len(params_list)
+
+
 def vgg_loss_mix(params_pytorch: list, params_caffe: list,
                  pred: jax.Array, target: jax.Array,
                  weight: float = 0.5,

@@ -61,6 +61,10 @@ class PipelineConfig:
     # (--criterion vgg_pytorch), or 'mix' (VGGLossMix, vgg_loss.py:114-122
     # — a 0.5/0.5 blend of both normalizations; --criterion vgg_mix).
     vgg_backend: str = "caffe"
+    # K>0: average the VGG loss over K seeded-random weight sets
+    # (--criterion vgg_ens; criterions/vgg.vgg_loss_ens — variance
+    # reduction for the no-pretrained-weights environment)
+    vgg_ensemble: int = 0
     reg_weight: float = 0.0
     texture_activation: str = "none"
     use_mask: bool = False
@@ -155,7 +159,7 @@ def config_from_dict(d: dict, crop_size=None,
     tda = train_dataset_args or {}
     criterion = d.get("criterion", "vgg")
     known_criteria = ("vgg", "vgg_pytorch", "vgg_mix", "vgg_partial",
-                      "huber_only")
+                      "vgg_ens", "huber_only")
     if criterion not in known_criteria:
         raise ValueError(f"unknown criterion {criterion!r}; expected one "
                          f"of {known_criteria}")
@@ -188,6 +192,8 @@ def config_from_dict(d: dict, crop_size=None,
         vgg_partialconv=criterion == "vgg_partial",
         vgg_backend={"vgg_pytorch": "pytorch",
                      "vgg_mix": "mix"}.get(criterion, "caffe"),
+        vgg_ensemble=int(d.get("vgg_ens_k", 3)) if criterion == "vgg_ens"
+        else 0,
         huber_ratio=1e4 if criterion != "huber_only" else 1.0,
         reg_weight=float(d.get("reg_weight", 0.0) or 0.0),
         texture_activation=d.get("texture_activation", "none"),
@@ -442,6 +448,12 @@ def _losses(cfg: PipelineConfig, vgg_params, out: Dict, batch: Dict,
             vgg = jax.checkpoint(
                 lambda p, t: V.vgg_loss_mix(
                     pp, pc, p, t, per_item=per_item))(im_l, target)
+        elif cfg.vgg_ensemble:
+            vgg = jax.checkpoint(
+                lambda p, t: V.vgg_loss_ens(
+                    vgg_params, p, t, backend=cfg.vgg_backend,
+                    partialconv=cfg.vgg_partialconv,
+                    per_item=per_item))(im_l, target)
         else:
             vgg = jax.checkpoint(
                 lambda p, t: V.vgg_loss(

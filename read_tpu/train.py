@@ -81,14 +81,18 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--splitter", type=str, default="split_by_step")
     p.add_argument("--criterion", type=str, default="vgg",
                    choices=["vgg", "vgg_pytorch", "vgg_mix",
-                            "vgg_partial", "huber_only"],
+                            "vgg_partial", "vgg_ens", "huber_only"],
                    help="vgg = caffe-normalized VGG loss (reference "
                         "default); vgg_pytorch switches the input "
                         "normalization to torchvision semantics "
                         "(vgg_loss.py:26-30,87-88); vgg_mix = VGGLossMix "
                         "0.5/0.5 blend (vgg_loss.py:114-122); "
                         "vgg_partial = VGGLoss(partialconv=True): the "
-                        "masked perceptual loss (vgg_loss.py:58-62)")
+                        "masked perceptual loss (vgg_loss.py:58-62); "
+                        "vgg_ens = mean over 3 seeded-random VGG weight "
+                        "sets (variance reduction when no pretrained "
+                        "weights are available; no reference "
+                        "counterpart)")
     p.add_argument("--vgg-weights", dest="vgg_weights", type=str,
                    default=None)
     p.add_argument("--use-mask", dest="use_mask", action="store_true")
@@ -575,10 +579,19 @@ def main(argv=None):
 
     vgg_params = None
     if cfg.vgg_ratio:
-        vgg_params = V.get_vgg_params(args.vgg_weights)
-        if args.vgg_weights is None:
-            print("WARNING: no --vgg-weights; using seeded random VGG "
-                  "features (see read_tpu/criterions/vgg.py)")
+        if cfg.vgg_ensemble and not args.vgg_weights:
+            vgg_params = [V.random_vgg_params(seed)
+                          for seed in range(cfg.vgg_ensemble)]
+            print(f"criterion vgg_ens: averaging {cfg.vgg_ensemble} "
+                  "seeded-random VGG feature sets")
+        else:
+            vgg_params = V.get_vgg_params(args.vgg_weights)
+            if cfg.vgg_ensemble:
+                # real weights given: vgg_ens degrades to a 1-ensemble
+                vgg_params = [vgg_params]
+            if args.vgg_weights is None:
+                print("WARNING: no --vgg-weights; using seeded random "
+                      "VGG features (see read_tpu/criterions/vgg.py)")
 
     if args.pipeline != "texture":
         # Pix2Pix / RGBTexture dispatch (reference wires all three

@@ -166,3 +166,21 @@ def test_scatter1_power_of_two_far_plane(rng):
                                      depth_far, n)
     assert int(idx2[0]) >= 0, "far-plane covered pixel read as empty"
     assert float(dep2[0]) == 1.0  # exact re-gathered depth
+
+
+def test_vgg_ens_criterion(rng):
+    """vgg_ens averages K independent random-VGG losses (variance
+    reduction for the no-pretrained-weights fallback) and differs from
+    the single-seed criterion."""
+    cfg = TP.config_from_dict({"criterion": "vgg_ens"},
+                              crop_size=(32, 32))
+    assert cfg.vgg_ensemble == 3
+    params = [V.random_vgg_params(s) for s in range(3)]
+    pred = jnp.asarray(rng.uniform(size=(2, 32, 32, 3)).astype(np.float32))
+    tgt = jnp.asarray(rng.uniform(size=(2, 32, 32, 3)).astype(np.float32))
+    loss, metrics = TP._losses(cfg, params,
+                               {"im_out": pred}, {"target": tgt})
+    ens = float(metrics["vgg_loss"])
+    singles = [float(V.vgg_loss(p, pred, tgt)) for p in params]
+    assert abs(ens - np.mean(singles)) < 1e-3 * abs(ens)
+    assert ens != singles[0]
