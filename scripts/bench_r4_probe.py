@@ -159,6 +159,12 @@ def probe_pzb2():
     for zb, label, kw in [
         (RP.zbuffer_pallas2, "v2 c=32768 u=4", dict(chunk=32768,
                                                     unroll=4)),
+        (RP.zbuffer_pallas2, "v2 c=32768 u=8", dict(chunk=32768,
+                                                    unroll=8)),
+        (RP.zbuffer_pallas2, "v2 c=65536 u=4", dict(chunk=65536,
+                                                    unroll=4)),
+        (RP.zbuffer_pallas2, "v2 c=65536 u=8", dict(chunk=65536,
+                                                    unroll=8)),
         (RP.zbuffer_pallas2, "v2 c=16384 u=2", dict(chunk=16384,
                                                     unroll=2)),
         (RP.zbuffer_pallas3, "v3 c=16384 u=4", dict(chunk=16384,
@@ -210,8 +216,12 @@ def probe_unet(b):
     pyr1 = _pyr(1)
     variables = net.init(jax.random.PRNGKey(1), *pyr1, train=False)
     pyr = _pyr(b)
+    dtype_name = os.environ.get("READ_TPU_UNET_DTYPE", "float32")
+    print(f"impl={os.environ.get('READ_TPU_CONV3_IMPL', 'pack9')} "
+          f"dtype={dtype_name}")
     if b == 1:
-        fn = lambda *p: UP.unet_pallas_apply_seg(variables, *p)["im_out"]
+        fn = lambda *p: UP.unet_pallas_apply_seg(
+            variables, *p, dtype_name=dtype_name)["im_out"]
     else:
         # vmap over the batch: each pallas kernel gains a leading grid dim
         one = lambda *p: UP.unet_pallas_apply_seg(
@@ -239,6 +249,9 @@ def probe_frame(b):
     variables = net.init(jax.random.PRNGKey(1), *pyr1, train=False)
 
     raster = os.environ.get("READ_TPU_RASTER", "pallas")
+    dtype_name = os.environ.get("READ_TPU_UNET_DTYPE", "float32")
+    print(f"impl={os.environ.get('READ_TPU_CONV3_IMPL', 'pack9')} "
+          f"dtype={dtype_name} raster={raster}")
 
     @jax.jit
     def pyramids(table, xyz, total_m):
@@ -250,7 +263,8 @@ def probe_frame(b):
     if b == 1:
         def frame(table, xyz, total_m):
             pyr = pyramids(table, xyz, total_m)
-            return UP.unet_pallas_apply_seg(variables, *pyr)["im_out"]
+            return UP.unet_pallas_apply_seg(
+                variables, *pyr, dtype_name=dtype_name)["im_out"]
     elif os.environ.get("READ_TPU_BATCH_MODE", "stack") == "loop":
         # batched raster+gather (ONE executable for all B frames), then
         # the per-frame unet kernels in a dispatch loop — vmap over the
@@ -268,7 +282,8 @@ def probe_frame(b):
         # no dispatch loop)
         def frame(table, xyz, total_m):
             pyr = pyramids(table, xyz, total_m)
-            return UP.unet_pallas_apply_seg(variables, *pyr)["im_out"]
+            return UP.unet_pallas_apply_seg(
+                variables, *pyr, dtype_name=dtype_name)["im_out"]
 
     args = (table, jnp.asarray(xyz), jnp.asarray(total_m))
     dt = _timeit(frame, args, iters=10 if b <= 2 else 5)
