@@ -294,3 +294,27 @@ def test_gated_conv3x3_chw_dot3_full_lane_width():
                                rows=2, interpret=True, impl="dot3")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("impl", ["pack9", "dot3"])
+def test_gated_conv3x3_chw_mxu_bf16(impl):
+    """bf16 MXU operands (in-register casts, f32 accumulate): must track
+    the f32 kernel within bf16 rounding of the dot inputs."""
+    rng = np.random.default_rng(11)
+    cin, cout, h, w = 32, 32, 6, 9
+    x = rng.normal(size=(cin, h * w)).astype(np.float32)
+    wk = rng.normal(size=(3, 3, cin, 2 * cout)).astype(np.float32) * 0.2
+    b = rng.normal(size=2 * cout).astype(np.float32)
+    scale, offset = _bn_affine(rng, cout)
+    args = (jnp.asarray(x), jnp.asarray(wk), jnp.asarray(b), scale,
+            offset)
+    f32 = GP.gated_conv3x3_chw(*args, w_img=w, relu=True, rows=2,
+                               interpret=True, impl=impl)
+    bf16 = GP.gated_conv3x3_chw(*args, w_img=w, relu=True, rows=2,
+                                interpret=True, impl=impl,
+                                mxu_bf16=True)
+    # bf16 has ~3 decimal digits; activations here are O(10)
+    np.testing.assert_allclose(np.asarray(bf16), np.asarray(f32),
+                               atol=0.35, rtol=0.05)
+    # and it must not be a no-op: SOME rounding difference exists
+    assert float(np.abs(np.asarray(bf16) - np.asarray(f32)).max()) > 0
