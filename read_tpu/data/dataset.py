@@ -328,7 +328,8 @@ class BatchIterator:
             items = [self.ds[j] for j in
                      order[i * self.batch_size:(i + 1) * self.batch_size]]
             batch = {}
-            for k in ("total_m", "target", "mask", "label", "id"):
+            for k in ("total_m", "target", "mask", "label", "id",
+                      "view_matrix"):
                 vals = [np.asarray(it[k]) for it in items]
                 v = np.stack(vals)
                 if self.ds.phase == "train":

@@ -175,24 +175,39 @@ def render_mode(mode: str, index_map: jax.Array, depth_map: jax.Array,
         if normals is None:
             return jnp.zeros(index_map.shape + (3,), jnp.float32)
         normals = jnp.asarray(normals, jnp.float32)
-        sub = mode.split("_")[1]
-        if sub == "m":  # model space as colors
+        if mode == "normals_m":  # model space as colors
             return gather_attribute(normals * 0.5 + 0.5, index_map)
         assert view_matrix is not None, f"{mode} needs a view matrix"
-        vm = jnp.asarray(view_matrix, jnp.float32)
-        rot = jnp.linalg.inv(vm)[:3, :3]
-        xyz = jnp.asarray(pointcloud["xyz"], jnp.float32)
-        cam_pos = vm[:3, 3]
-        if sub == "l":  # view-space normals
-            n_view = normals @ rot.T
-            return gather_attribute(n_view * 0.5 + 0.5, index_map)
-        view_dir = xyz - cam_pos
-        view_dir = view_dir / jnp.maximum(
-            jnp.linalg.norm(view_dir, axis=-1, keepdims=True), 1e-9)
-        if sub == "d":  # camera->point direction
-            return gather_attribute(view_dir * 0.5 + 0.5, index_map)
-        if sub == "r":  # reflection of the view dir about the normal
-            dotp = jnp.sum(view_dir * normals, axis=-1, keepdims=True)
-            refl = view_dir - 2.0 * dotp * normals
-            return gather_attribute(refl * 0.5 + 0.5, index_map)
+        cols = view_dependent_colors(
+            mode, jnp.asarray(pointcloud["xyz"], jnp.float32), normals,
+            view_matrix)
+        return gather_attribute(cols, index_map)
     raise ValueError(f"unknown render mode {mode!r}")
+
+
+def view_dependent_colors(mode: str, xyz: jax.Array, normals: jax.Array,
+                          view_matrix: jax.Array) -> jax.Array:
+    """Per-point colors for the view-dependent normal modes ``[N, 3]``.
+
+    The per-point half of ``normals_l/r/d`` (reference shader programs
+    ``READ/gl/programs.py:136-158``), shared by :func:`render_mode` and
+    the training-input path (``texture_pipeline._extra_maps`` /
+    ``sharded.sharded_extra_maps``), which vmaps it over per-item view
+    matrices.
+    """
+    vm = jnp.asarray(view_matrix, jnp.float32)
+    rot = jnp.linalg.inv(vm)[:3, :3]
+    cam_pos = vm[:3, 3]
+    sub = mode.split("_")[1]
+    if sub == "l":  # view-space normals
+        return normals @ rot.T * 0.5 + 0.5
+    view_dir = xyz - cam_pos
+    view_dir = view_dir / jnp.maximum(
+        jnp.linalg.norm(view_dir, axis=-1, keepdims=True), 1e-9)
+    if sub == "d":  # camera->point direction
+        return view_dir * 0.5 + 0.5
+    if sub == "r":  # reflection of the view dir about the normal
+        dotp = jnp.sum(view_dir * normals, axis=-1, keepdims=True)
+        refl = view_dir - 2.0 * dotp * normals
+        return refl * 0.5 + 0.5
+    raise ValueError(f"unknown view-dependent mode {mode!r}")

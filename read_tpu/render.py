@@ -152,6 +152,7 @@ class NeuralRenderer:
             self.point_sizes = jnp.asarray(
                 np.asarray(ps, np.float32).reshape(-1))
         self.pc_attrs = None
+        self._needs_view = False
         if cfg.extra_modes:
             need = {m for g in cfg.extra_modes for m in g}
             attr_of = {"colors": "rgb", "labels": "labels",
@@ -163,6 +164,12 @@ class NeuralRenderer:
                 if a and pc.get(a) is not None:
                     self.pc_attrs[a] = jnp.asarray(
                         np.asarray(pc[a], np.float32))
+                if mode in ("normals_l", "normals_r", "normals_d"):
+                    self._needs_view = True
+                    for a in ("xyz", "normals"):
+                        if pc.get(a) is not None:
+                            self.pc_attrs[a] = jnp.asarray(
+                                np.asarray(pc[a], np.float32))
 
         h, w = self.vh, self.vw
         use_pallas_net = cfg.conv_impl == "pallas"
@@ -178,14 +185,16 @@ class NeuralRenderer:
                             *pyr, train=False)
             return out["im_out"]
 
-        def _pyramids(state, xyz, total_m):
+        def _pyramids(state, xyz, total_m, view_m=None):
             return tuple(TP._build_pyramid(
                 cfg, state.texture, xyz, total_m, shape=(h, w),
                 uv2d=self.uv2d, point_sizes=self.point_sizes,
-                faces=self.faces, pointcloud=self.pc_attrs))
+                faces=self.faces, pointcloud=self.pc_attrs,
+                view_m=view_m))
 
-        def _infer(state, xyz, total_m):
-            return _apply_net(state, _pyramids(state, xyz, total_m))
+        def _infer(state, xyz, total_m, view_m=None):
+            return _apply_net(state, _pyramids(state, xyz, total_m,
+                                               view_m))
 
         self._pyr_fn = jax.jit(_pyramids)
         if use_pallas_net:
@@ -205,8 +214,8 @@ class NeuralRenderer:
                 return out["im_out"]
 
             self._net_fn = _net_seg
-            self._infer_fn = lambda state, xyz, total_m: _net_seg(
-                state, self._pyr_fn(state, xyz, total_m))
+            self._infer_fn = lambda state, xyz, total_m, view_m=None: \
+                _net_seg(state, self._pyr_fn(state, xyz, total_m, view_m))
         else:
             self._net_fn = jax.jit(_apply_net)
             self._infer_fn = jax.jit(_infer)
@@ -215,6 +224,14 @@ class NeuralRenderer:
         self._raster = jax.jit(
             lambda xyz, m: R.rasterize_batch(xyz, m, h, w,
                                              method=cfg.raster_method))
+
+    def _view_arg(self, view_matrix: np.ndarray):
+        """``[1,4,4]`` view matrix for view-dependent extra modes, or
+        None so XLA sees an empty pytree when no mode needs it."""
+        if not self._needs_view:
+            return None
+        return self.jnp.asarray(
+            np.asarray(view_matrix, np.float32)[None])
 
     def total_matrix(self, view_matrix: np.ndarray,
                      K: Optional[np.ndarray] = None) -> np.ndarray:
@@ -231,7 +248,8 @@ class NeuralRenderer:
         per-frame host download costs seconds and says nothing about
         device rate; real deployments stream frames out-of-band)."""
         m = self.total_matrix(view_matrix, K)[None]
-        return self._infer_fn(self.state, self.xyz, self.jnp.asarray(m))
+        return self._infer_fn(self.state, self.xyz, self.jnp.asarray(m),
+                              self._view_arg(view_matrix))
 
     def infer(self, view_matrix: np.ndarray,
               K: Optional[np.ndarray] = None) -> np.ndarray:
@@ -239,12 +257,14 @@ class NeuralRenderer:
         m = self.total_matrix(view_matrix, K)[None]
         if not self.temporal_average:
             img = self._infer_fn(self.state, self.xyz,
-                                 self.jnp.asarray(m))
+                                 self.jnp.asarray(m),
+                                 self._view_arg(view_matrix))
             return np.clip(np.asarray(img)[0], 0.0, 1.0)
         # temporal averaging of the net INPUT pyramid with the previous
         # frame's (compose.py:167-171; last_input stores the averaged
         # pyramid, as the reference does).
-        pyr = self._pyr_fn(self.state, self.xyz, self.jnp.asarray(m))
+        pyr = self._pyr_fn(self.state, self.xyz, self.jnp.asarray(m),
+                           self._view_arg(view_matrix))
         if self._last_pyr is not None:
             pyr = tuple((a + b) * 0.5
                         for a, b in zip(pyr, self._last_pyr))

@@ -710,6 +710,11 @@ def main(argv=None):
                 a = attr_of.get(mode)
                 if a and pc.get(a) is not None:
                     out[a] = np.asarray(pc[a], np.float32)
+                if mode in ("normals_l", "normals_r", "normals_d"):
+                    # view-dependent: per-point world xyz + normals
+                    for a in ("xyz", "normals"):
+                        if pc.get(a) is not None:
+                            out[a] = np.asarray(pc[a], np.float32)
             if mesh is not None:
                 from read_tpu.parallel import sharded as SH
                 out = SH.shard_pointcloud_attrs(mesh, out)
@@ -873,6 +878,10 @@ def main(argv=None):
                 dev_batch["pointcloud"] = pc_cache(sid)
                 if cfg.label_in_input:
                     dev_batch["label"] = jnp.asarray(batch["label"])
+                if any(m in ("normals_l", "normals_r", "normals_d")
+                       for g in cfg.extra_modes for m in g):
+                    dev_batch["view_matrix"] = jnp.asarray(
+                        batch["view_matrix"])
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec
                 pc_sharded = dev_batch.pop("pointcloud", None)
@@ -938,7 +947,8 @@ def main(argv=None):
                     npad = bs - len(items)
                     b = {k: np.stack([it[k] for it in items] +
                                      [items[-1][k]] * npad)
-                         for k in ("total_m", "target", "mask")}
+                         for k in ("total_m", "target", "mask",
+                                   "view_matrix")}
                     b["n_valid"] = len(items)
                     b["filenames"] = [it["target_filename"]
                                       for it in items]
@@ -961,6 +971,10 @@ def main(argv=None):
                     dev_batch["point_sizes"] = psize_cache(ds.id)
                 if cfg.extra_modes:
                     dev_batch["pointcloud"] = pc_cache(ds.id)
+                    if any(m in ("normals_l", "normals_r", "normals_d")
+                           for g in cfg.extra_modes for m in g):
+                        dev_batch["view_matrix"] = jnp.asarray(
+                            batch["view_matrix"])
                 img, metrics = eval_step(st, xyz, dev_batch)
                 # metrics are per-item [B] vectors; only the first
                 # n_valid rows are real views (the tail is padding and
