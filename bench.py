@@ -25,11 +25,69 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
 ASSUMED_REFERENCE_FPS = 30.0
 
 
+def bench_train_steps():
+    """Training throughput at the baseline config-2 operating point
+    (256^2 crops, B=8, 1M pts, VGG perceptual loss on): fused jitted
+    train step, steps/s. Reference anchor: the src train loop's
+    per-iteration render+backward (``src/train.py:156-280``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from read_tpu.criterions import vgg as V
+    from read_tpu.pipelines import texture_pipeline as TP
+    from read_tpu.scene import camera
+
+    rng = np.random.default_rng(0)
+    n_points, hw, b = 1_000_000, 256, 8
+    xyz = rng.uniform(-10, 10, size=(n_points, 3)).astype(np.float32)
+    xyz[:, 2] -= 25.0
+    K = np.array([[720.0, 0, hw / 2], [0, 720.0, hw / 2], [0, 0, 1]])
+    P = camera.gl_projection(K, (hw, hw), znear=0.1, zfar=1000.0)
+    ms = []
+    for i in range(b):
+        view = np.eye(4)
+        view[0, 3] = 0.05 * i
+        ms.append(camera.total_matrix(P, view))
+    batch = {
+        "total_m": jnp.asarray(np.stack(ms).astype(np.float32)),
+        "target": jnp.asarray(
+            rng.uniform(size=(b, hw, hw, 3)).astype(np.float32)),
+    }
+    cfg = TP.PipelineConfig(crop_size=(hw, hw))
+    vgg_params = V.random_vgg_params(0)
+    state, net = TP.create_state(jax.random.PRNGKey(0), cfg,
+                                 n_points=n_points)
+    step = TP.make_train_step(net, cfg, vgg_params)
+    xyz_j = jnp.asarray(xyz)
+    state, _ = step(state, xyz_j, batch)  # compile
+    np.asarray(state.texture[0, 0])
+    n_iters = 6
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, _ = step(state, xyz_j, batch)
+    np.asarray(state.texture[0, 0])
+    dt = (time.perf_counter() - t0) / n_iters
+    return 1.0 / dt
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+    train_sps = None
+    if os.environ.get("READ_TPU_BENCH_TRAIN", "1") != "0":
+        try:
+            train_sps = bench_train_steps()
+            print(json.dumps({
+                "metric": "train steps/s @256^2 crops, B=8, 1M pts, VGG",
+                "value": round(train_sps, 3),
+                "unit": "steps/s",
+                "vs_baseline": None,
+            }))
+        except Exception as e:  # never let the train probe eat the
+            print(json.dumps({"train_bench_error": str(e)[:200]}))
 
     from __graft_entry__ import entry_orchestrated
 
@@ -67,6 +125,7 @@ def main():
         # Sensitivity: at 20/60 fps assumed, vs_baseline scales by
         # 1.5x / 0.5x respectively.
         "assumed_baseline_fps": ASSUMED_REFERENCE_FPS,
+        "train_steps_per_s": round(train_sps, 3) if train_sps else None,
     }))
 
 

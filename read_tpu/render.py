@@ -171,6 +171,23 @@ class NeuralRenderer:
                             self.pc_attrs[a] = jnp.asarray(
                                 np.asarray(pc[a], np.float32))
 
+        self._build_fns()
+
+    def _build_fns(self):
+        """(Re)build the jitted render functions from ``self.cfg``.
+
+        Called from ``__init__`` and again whenever a raster-geometry
+        knob changes live (the viewer's point-size ± keys,
+        :meth:`set_point_radius` — reference ``viewer.py:351-354``
+        KEY_PLUS/MINUS adjust the GL point size per frame)."""
+        import jax
+        import jax.numpy as jnp
+
+        from read_tpu.ops import rasterize as R
+        from read_tpu.pipelines import texture_pipeline as TP
+
+        cfg = self.cfg
+        net = self.net
         h, w = self.vh, self.vw
         use_pallas_net = cfg.conv_impl == "pallas"
         dtype_name = "bfloat16" if cfg.dtype == jnp.bfloat16 \
@@ -224,6 +241,16 @@ class NeuralRenderer:
         self._raster = jax.jit(
             lambda xyz, m: R.rasterize_batch(xyz, m, h, w,
                                              method=cfg.raster_method))
+
+    def set_point_radius(self, radius: int):
+        """Change the splat radius live and recompile the render fns
+        (viewer ±; reference ``viewer.py:351-354``). Clamped at 0."""
+        radius = max(0, int(radius))
+        if radius == self.cfg.point_radius:
+            return
+        self.cfg = self.cfg.replace(point_radius=radius)
+        self._last_pyr = None
+        self._build_fns()
 
     def _view_arg(self, view_matrix: np.ndarray):
         """``[1,4,4]`` view matrix for view-dependent extra modes, or

@@ -16,6 +16,7 @@ Key bindings (reference ``viewer.py:323-380,460-468``):
   p            PCA descriptor mode  h   Blinn-Phong lit mode
   u            2D-texture sampling mode
   t            toggle temporal averaging
+  +/-          splat point radius up/down (live recompile)
   g            snap to nearest training pose
   o            print current pose
   s+ctrl / F12 screenshot (also 'i')
@@ -53,7 +54,7 @@ _MODES = ["neural", "colors", "depth", "xyz", "labels", "pca",
 
 class ViewerApp:
     def __init__(self, scene_path: str, ckpt_path: str,
-                 viewport=None, supersampling=None):
+                 viewport=None, supersampling=None, gt_pattern=None):
         from read_tpu.render import NeuralRenderer, nearest_train
         from read_tpu.scene.trackball import Trackball
 
@@ -72,6 +73,33 @@ class ViewerApp:
         self.replaying = False
         self._replay_t = 0.0
         self.replay_speed = 1.0 / 180  # path fraction per frame
+        self.gt_pattern = gt_pattern
+        self._last_gt_path = None
+
+    def nearest_gt_image(self):
+        """(path, image) of the training photo whose pose is nearest to
+        the current camera (reference ``viewer.py:492-506``
+        ``--nearest_train``: show the closest GT frame in a side
+        window). Returns (None, None) without a --gt pattern; the image
+        is cached per path so replays don't re-read the file."""
+        if not self.gt_pattern:
+            return None, None
+        import os
+        views = self.r.scene_data["view_matrix"]
+        if not views:
+            return None, None
+        i = self._nearest(views, self.tb.view_matrix())
+        labels = self.r.scene_data.get("camera_labels")
+        label = labels[i] if labels else i
+        path = self.gt_pattern.replace("*", str(label))
+        if not os.path.exists(path):
+            print(f"{path} NOT FOUND!")
+            return path, None
+        if path != self._last_gt_path:
+            import imageio.v2 as imageio
+            self._last_gt_path = path
+            self._last_gt_img = np.asarray(imageio.imread(path))
+        return path, self._last_gt_img
 
     def render(self) -> np.ndarray:
         t0 = time.perf_counter()
@@ -130,6 +158,14 @@ class ViewerApp:
         elif key == "u":
             # GL 2D-texture sampling submode (programs.py:253-255)
             self.mode = "texture2d"
+        elif key in ("+", "="):
+            # live splat-size adjust (reference viewer.py:351-354
+            # KEY_PLUS/KEY_MINUS on the GL point size)
+            self.r.set_point_radius(self.r.cfg.point_radius + 1)
+            print(f"point radius {self.r.cfg.point_radius}")
+        elif key == "-":
+            self.r.set_point_radius(self.r.cfg.point_radius - 1)
+            print(f"point radius {self.r.cfg.point_radius}")
         elif key == "t":
             self.r.temporal_average = not self.r.temporal_average
             self.r._last_pyr = None
@@ -222,14 +258,23 @@ def main(argv=None):
     p.add_argument("--supersampling", type=int, default=None)
     p.add_argument("--offscreen", type=int, default=0,
                    help="render N trajectory frames headless and exit")
+    p.add_argument("--nearest-train", action="store_true",
+                   help="show the nearest training photo alongside "
+                        "(reference viewer.py --nearest_train)")
+    p.add_argument("--gt", default=None,
+                   help="GT image path pattern, '*' replaced by the "
+                        "camera label (e.g. images/*.png)")
     args = p.parse_args(argv)
+    if args.nearest_train and not args.gt:
+        p.error("--nearest-train needs --gt (path to gt images)")
 
     viewport = None
     if args.viewport:
         w, h = args.viewport.lower().split("x")
         viewport = (int(w), int(h))
     app = ViewerApp(args.scene, args.ckpt, viewport=viewport,
-                    supersampling=args.supersampling)
+                    supersampling=args.supersampling,
+                    gt_pattern=args.gt)
 
     if args.offscreen:
         views = app.r.scene_data["view_matrix"]
@@ -247,6 +292,10 @@ def main(argv=None):
         app.handle_key("r")
         for _ in range(3):
             app.render()
+        if args.nearest_train:
+            path, gt = app.nearest_gt_image()
+            print(f"nearest-train: {path} "
+                  f"{'loaded ' + str(gt.shape) if gt is not None else 'missing'}")
         print(f"offscreen ok: {len(app.frame_times)} frames, "
               f"fps {app.fps:.2f}, mode {app.mode}, "
               f"traj {len(app.trajectory)} kf")
@@ -265,6 +314,13 @@ def main(argv=None):
         cv2.putText(bgr, f"{app.fps:5.1f} fps  [{app.mode}]", (8, 18),
                     cv2.FONT_HERSHEY_SIMPLEX, 0.5, (0, 255, 0), 1)
         cv2.imshow(win, bgr)
+        if args.nearest_train:
+            _, gt = app.nearest_gt_image()
+            if gt is not None:
+                s = 1024 / max(gt.shape[:2])
+                gt_bgr = cv2.resize(gt[..., :3][..., ::-1], None,
+                                    None, s, s)
+                cv2.imshow("nearest train", gt_bgr)
         k = cv2.waitKey(1) & 0xFF
         if k != 255:
             running = app.handle_key(chr(k))

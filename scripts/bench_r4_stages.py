@@ -86,15 +86,18 @@ def main():
     print(f"raster+pool only: {timeit(raster_only, (xyz_d, tm)):.2f} ms")
 
     # 2) encoder / decoder standalone (the production two-exe split)
+    dtype_name = os.environ.get("READ_TPU_DTYPE", "bf16_mxu")
+    print(f"dtype={dtype_name} conv3="
+          f"{os.environ.get('READ_TPU_CONV3_IMPL', 'pack9')}")
     enc = lambda v, *pyr: UP._encoder_seg(v, *pyr, num_res=4,
                                           interpret=False,
-                                          dtype_name="float32", s2d=True)
+                                          dtype_name=dtype_name, s2d=True)
     r1, r2, r3, z = enc(variables, *pyr0)
     print(f"encoder: {timeit(enc, (variables, *pyr0)):.2f} ms")
 
     dec = lambda v, a, b, c, d: UP._decoder_seg(
         v, a, b, c, d, num_res=4, interpret=False,
-        dtype_name="float32", s2d=True, frames=1)
+        dtype_name=dtype_name, s2d=True, frames=1)
     print(f"decoder: {timeit(dec, (variables, r1, r2, r3, z)):.2f} ms")
 
     # 3) gather alone (pyramids minus raster)

@@ -338,3 +338,41 @@ def test_scatter1_pooled_pyramid(rng):
             np.asarray(i1), np.asarray(i2), err_msg=f"level {lvl}")
         np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
                                    atol=1e-7, err_msg=f"level {lvl}")
+
+
+def test_packed_pool_matches_exact(rng):
+    """pool_impl='packed' must agree with the exact pair pool wherever
+    the winner is decided by more than one depth-quantization bin, and
+    its coarse depths must be within one bin of exact."""
+    import jax.numpy as jnp
+    from read_tpu.scene import camera
+
+    n, h, w = 4096, 64, 64
+    xyz = rng.uniform(-2, 2, size=(n, 3)).astype(np.float32)
+    xyz[:, 2] -= 6.0
+    K = np.array([[60.0, 0, w / 2], [0, 60.0, h / 2], [0, 0, 1]])
+    P = camera.gl_projection(K, (w, h), znear=0.1, zfar=50.0)
+    m = camera.total_matrix(P, np.eye(4)).astype(np.float32)[None]
+
+    exact = R.rasterize_pyramid_pooled(jnp.asarray(xyz), jnp.asarray(m),
+                                       (h, w), 4, method="scatter1")
+    packed = R.rasterize_pyramid_pooled(jnp.asarray(xyz), jnp.asarray(m),
+                                        (h, w), 4, method="scatter1",
+                                        pool_impl="packed")
+    idb = max(1, (n - 1).bit_length())
+    bin_w = 1.0 / ((1 << (31 - idb)) - 1)
+    # level 0 is the raster itself: identical
+    np.testing.assert_array_equal(np.asarray(exact[0][0]),
+                                  np.asarray(packed[0][0]))
+    for lvl in range(1, 4):
+        ie, de = map(np.asarray, exact[lvl])
+        ip, dp = map(np.asarray, packed[lvl])
+        diff = ie != ip
+        if diff.any():
+            # disagreements only where exact depths sit within one bin
+            assert np.abs(de[diff] - dp[diff]).max() <= 2 * bin_w, (
+                lvl, np.abs(de[diff] - dp[diff]).max())
+        agree = (ie == ip) & (ie >= 0)
+        assert np.abs(de[agree] - dp[agree]).max() <= bin_w
+        # empties agree exactly
+        np.testing.assert_array_equal(ie < 0, ip < 0)
