@@ -218,8 +218,25 @@ def shard_scene(mesh: Mesh, xyz: np.ndarray, texture: jax.Array):
 
 
 def shard_state(mesh: Mesh, state: TP.TrainState) -> TP.TrainState:
-    """Replicate net params/opt, shard texture (+ its RMSprop state)."""
+    """Replicate net params/opt, shard texture (+ its RMSprop state).
+
+    Mesh textures (tuple of fixed-size 2D tables) replicate like net
+    params — they don't scale with the point count, which is the whole
+    argument for sharding; their uv2d attribute shards instead
+    (:func:`shard_pointcloud_attrs`)."""
     repl = NamedSharding(mesh, P())
+    if isinstance(state.texture, (tuple, list)):
+        put_repl = functools.partial(jax.tree.map,
+                                     lambda x: jax.device_put(x, repl))
+        return TP.TrainState(
+            step=jax.device_put(state.step, repl),
+            params=put_repl(state.params),
+            batch_stats=put_repl(state.batch_stats),
+            texture=put_repl(state.texture),
+            net_opt=put_repl(state.net_opt),
+            tex_opt=put_repl(state.tex_opt),
+            lr_scale=jax.device_put(state.lr_scale, repl),
+        )
     tex_sh = NamedSharding(mesh, P("points", None))
 
     def put_tex_tree(tree):
@@ -289,6 +306,8 @@ def prepare_scene_state(mesh: Mesh, state: TP.TrainState) -> TP.TrainState:
     The train CLI's ``--mesh`` entry point: takes the unsharded state
     ``create_state`` built (or a resumed one) and returns its
     mesh-resident version."""
+    if isinstance(state.texture, (tuple, list)):
+        return shard_state(mesh, state)  # replicated; nothing to pad
     n_shards = mesh.shape["points"]
     n = state.texture.shape[0]
     pad = (-n) % n_shards
@@ -308,6 +327,8 @@ def unshard_state(state: TP.TrainState, n_points: int) -> TP.TrainState:
     — the inverse of ``prepare_scene_state`` (for eval / checkpoints /
     the single-chip viewer)."""
     state = jax.device_get(state)
+    if isinstance(state.texture, (tuple, list)):
+        return jax.tree.map(jnp.asarray, state)  # replicated, unpadded
     tex_shape = state.texture.shape
 
     def strip(x):
@@ -358,6 +379,10 @@ def make_sharded_train_step(net, cfg: TP.PipelineConfig, vgg_params,
     if unet == "split":
         return _make_split_train_step(net, cfg, vgg_params, mesh,
                                       net_opt, tex_opt)
+    if cfg.use_mesh:
+        raise ValueError(
+            "use_mesh is only supported with unet='split' (the 2D "
+            "tables are replicated and sampled in stage 2)")
 
     def _loss_local(params, batch_stats, tex_local, xyz_local, id_offset,
                     batch, pc_local):
@@ -476,23 +501,55 @@ def _make_split_train_step(net, cfg: TP.PipelineConfig, vgg_params,
             cfg.num_scales, cfg.point_radius, method=cfg.raster_method)
         pyr = []
         for lvl, (ix, dep) in enumerate(levels):
-            x = sharded_gather(tex_local, id_offset, ix,
-                               cfg.texture_activation)
+            if cfg.use_mesh:
+                # mesh-texture path (point-splat uv variant,
+                # texture_pipeline._build_pyramid:386-397): only the
+                # per-point uv2d attribute is sharded; the 2D texture
+                # tables are fixed-size and replicated, so the sample
+                # itself runs in stage 2 where the batch rows are
+                # spread over the whole mesh. Emit (extras, uv, mask)
+                # per level; zeros at empty/unowned pixels match
+                # gather_attribute's ix<0 handling exactly.
+                uv = sharded_gather(pc_local["uv2d"], id_offset, ix,
+                                    "none")
+                mask = (ix >= 0).astype(jnp.float32)
+                x = (uv, mask)
+            else:
+                x = sharded_gather(tex_local, id_offset, ix,
+                                   cfg.texture_activation)
             if cfg.extra_modes:
                 ex = sharded_extra_maps(cfg, cfg.extra_modes[lvl], ix,
                                         dep, pc_local, id_offset,
                                         batch.get("label"),
                                         view_m=batch.get("view_matrix"))
-                x = jnp.concatenate(list(ex) + [x], axis=-1)
+                if cfg.use_mesh:
+                    ex = jnp.concatenate(list(ex), axis=-1) if ex else \
+                        jnp.zeros(ix.shape + (0,), jnp.float32)
+                    x = (ex,) + x
+                else:
+                    x = jnp.concatenate(list(ex) + [x], axis=-1)
+            elif cfg.use_mesh:
+                x = (jnp.zeros(ix.shape + (0,), jnp.float32),) + x
             pyr.append(x)
         return tuple(pyr)
 
-    pyr_sm = shard_map(
-        _pyr_body, mesh=mesh,
-        in_specs=(P("points", None), P("points", None), P("data"),
-                  P("points", None)),
-        out_specs=P("data"),
-        check_vma=False)
+    if cfg.use_mesh:
+        # the replicated texture tables never enter the shard_map:
+        # stage 1 is raster + uv/extras gather only
+        pyr_sm = shard_map(
+            lambda xyz_local, batch, pc_local: _pyr_body(
+                None, xyz_local, batch, pc_local),
+            mesh=mesh,
+            in_specs=(P("points", None), P("data"), P("points", None)),
+            out_specs=P("data"),
+            check_vma=False)
+    else:
+        pyr_sm = shard_map(
+            _pyr_body, mesh=mesh,
+            in_specs=(P("points", None), P("points", None), P("data"),
+                      P("points", None)),
+            out_specs=P("data"),
+            check_vma=False)
 
     # With check_vma=False, the transpose of an out_spec that drops the
     # 'points' axis divides the incoming cotangent by the axis size
@@ -516,17 +573,37 @@ def _make_split_train_step(net, cfg: TP.PipelineConfig, vgg_params,
     batch_sh = NamedSharding(mesh, P(("data", "points")))
 
     def _loss_fn(params, texture, batch_stats, xyz_sharded, batch, pc):
-        pyr = _unreplicate_fix(pyr_sm(texture, xyz_sharded, batch, pc))
-        # spread batch rows over the WHOLE mesh for the UNet
-        pyr = tuple(jax.lax.with_sharding_constraint(x, batch_sh)
-                    for x in pyr)
+        if cfg.use_mesh:
+            stage1 = _unreplicate_fix(pyr_sm(xyz_sharded, batch, pc))
+            stage1 = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(x, batch_sh),
+                stage1)
+            # stage 2: sample the replicated 2D tables at the assembled
+            # uv maps (bilinear, MXU-friendly) — XLA all-reduces the
+            # table gradients across the whole mesh like net params
+            pyr = []
+            for ex, uv, mask in stage1:
+                x = T.sample_mesh_texture(list(texture), uv,
+                                          cfg.texture_activation)
+                x = x * mask[..., None]
+                pyr.append(jnp.concatenate([ex, x], axis=-1)
+                           if ex.shape[-1] else x)
+            pyr = tuple(pyr)
+        else:
+            pyr = _unreplicate_fix(pyr_sm(texture, xyz_sharded, batch,
+                                          pc))
+            # spread batch rows over the WHOLE mesh for the UNet
+            pyr = tuple(jax.lax.with_sharding_constraint(x, batch_sh)
+                        for x in pyr)
         variables = {"params": params, "batch_stats": batch_stats}
         out, mutated = net.apply(variables, *pyr, train=True,
                                  mutable=["batch_stats"])
         loss, metrics = TP._losses(cfg, vgg_params, out, batch)
         if cfg.reg_weight:
-            loss = loss + T.point_texture_reg_loss(texture,
-                                                   cfg.reg_weight)
+            loss = loss + (
+                T.mesh_texture_reg_loss(list(texture), cfg.reg_weight)
+                if cfg.use_mesh else
+                T.point_texture_reg_loss(texture, cfg.reg_weight))
         return loss, (metrics, mutated["batch_stats"])
 
     @jax.jit
@@ -545,7 +622,10 @@ def _make_split_train_step(net, cfg: TP.PipelineConfig, vgg_params,
         params = jax.tree.map(
             lambda p, u: p + cfg.lr * state.lr_scale * u,
             state.params, up_net)
-        texture = state.texture + cfg.texture_lr * state.lr_scale * up_tex
+        # texture is [N,C] (point table) or a tuple of 2D tables (mesh)
+        texture = jax.tree.map(
+            lambda t, u: t + cfg.texture_lr * state.lr_scale * u,
+            state.texture, up_tex)
         metrics["loss"] = loss
         new_state = state.replace(
             step=state.step + 1, params=params, batch_stats=new_bs,

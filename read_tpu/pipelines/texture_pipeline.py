@@ -562,8 +562,12 @@ def make_train_step(net: UNet, cfg: PipelineConfig, vgg_params,
                                       view_m=batch.get("view_matrix"))
             loss, metrics = _losses(cfg, vgg_params, out, batch)
             if cfg.reg_weight:
-                loss = loss + T.point_texture_reg_loss(texture,
-                                                       cfg.reg_weight)
+                # mesh textures use the per-level weighted L2
+                # (texture.py:105); point tables the flat L2
+                loss = loss + (
+                    T.mesh_texture_reg_loss(list(texture), cfg.reg_weight)
+                    if cfg.use_mesh else
+                    T.point_texture_reg_loss(texture, cfg.reg_weight))
             # im_out rides the aux; XLA dead-code-eliminates it when the
             # caller drops it (return_images=False)
             return loss, (metrics, new_bs, out["im_out"])

@@ -562,9 +562,13 @@ def main(argv=None):
         print(f"mesh: data={n_data} x points={n_pts_axis} over "
               f"{n_data * n_pts_axis} devices")
         if cfg.use_mesh:
-            raise SystemExit("--mesh does not yet support --use-mesh "
-                             "(2D mesh-texture tables don't shard over "
-                             "the points axis)")
+            # mesh-texture tables are fixed-size: they replicate (like
+            # net params) while their per-vertex uv2d shards over
+            # 'points'. Only the point-splat uv variant runs sharded —
+            # triangle-face rasterization needs cross-shard vertices
+            # and falls back to splats (a warning prints per scene).
+            print("mesh + use_mesh: replicated 2D tables, sharded uv2d "
+                  "(point-splat uv variant; triangle faces ignored)")
 
     ds_train, ds_val, texture_ckpts = get_datasets(args)
     for tr, va in zip(ds_train, ds_val):
@@ -701,6 +705,11 @@ def main(argv=None):
         (points-axis sharded when training on a mesh)."""
         if sid not in _pc_cache:
             need = {m for g in cfg.extra_modes for m in g}
+            if cfg.use_mesh and mesh is not None:
+                # sharded mesh-texture path: uv2d rides the sharded
+                # pointcloud dict (the replicated tables sample in
+                # stage 2, parallel/sharded._make_split_train_step)
+                need = need | {"uv_2d"}
             attr_of = {"colors": "rgb", "labels": "labels",
                        "xyz": "xyz_c", "normals_m": "normals",
                        "uv_2d": "uv2d"}
@@ -744,6 +753,11 @@ def main(argv=None):
         None when the scene has no faces (vertex-splat fallback)."""
         if sid not in _faces_cache:
             f = scene_by_id[sid].scene_data["pointcloud"].get("faces")
+            if f is not None and cfg.use_mesh and mesh is not None:
+                print(f"scene {sid}: triangle faces ignored under "
+                      "--mesh (sharded path uses the point-splat uv "
+                      "variant)")
+                f = None
             _faces_cache[sid] = None if f is None or not cfg.use_mesh \
                 else jnp.asarray(np.asarray(f, np.int64).reshape(-1, 3)
                                  .astype(np.int32))
@@ -885,6 +899,12 @@ def main(argv=None):
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec
                 pc_sharded = dev_batch.pop("pointcloud", None)
+                if cfg.use_mesh:
+                    # uv2d is a per-POINT attribute: it shards over
+                    # 'points' inside pc_sharded, never over 'data'
+                    dev_batch.pop("uv2d", None)
+                    dev_batch.pop("faces", None)
+                    pc_sharded = pc_cache(sid)
                 dsh = NamedSharding(mesh, PartitionSpec("data"))
                 dev_batch = {k: jax.device_put(v, dsh)
                              for k, v in dev_batch.items()}

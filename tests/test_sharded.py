@@ -273,3 +273,43 @@ def test_sharded_view_dependent_extra_matches_unsharded(rng):
     sharded = S.make_sharded_train_step(net, cfg, None, mesh)
     _, m_sharded = sharded(state_s, xyz_s, batch_s, pc_s)
     assert abs(float(m_single["loss"]) - float(m_sharded["loss"])) < 1e-4
+
+
+def test_sharded_mesh_texture_matches_unsharded(rng):
+    """--use-mesh under --mesh: replicated 2D tables sampled in stage 2
+    with uv maps gathered from the points-sharded uv2d attribute must
+    reproduce the single-device mesh-texture step — loss AND the
+    updated texture tables (the GSPMD all-reduce of table grads must
+    equal the single-chip scatter)."""
+    n, h, w = 1024, 32, 32
+    xyz, ms = _scene(rng, n, h, w, b=2)
+    targets = rng.uniform(size=(2, h, w, 3)).astype(np.float32)
+    uv2d = rng.uniform(size=(n, 2)).astype(np.float32)
+    cfg = TP.PipelineConfig(crop_size=(h, w), vgg_ratio=0.0,
+                            huber_ratio=1.0, use_mesh=True,
+                            texture_size=64, reg_weight=1e-2)
+    state, net = TP.create_state(jax.random.PRNGKey(0), cfg, n_points=n)
+    batch = {"total_m": jnp.asarray(ms), "target": jnp.asarray(targets),
+             "uv2d": jnp.asarray(uv2d)}
+    single = TP.make_train_step(net, cfg, None)
+    s1, m_single = single(state, jnp.asarray(xyz), batch)
+
+    mesh = S.make_mesh(1, 4)
+    state_s = S.prepare_scene_state(mesh, state)
+    xyz_s = S.shard_points(mesh, xyz)
+    data_sh = NamedSharding(mesh, P("data"))
+    batch_s = {"total_m": jax.device_put(jnp.asarray(ms), data_sh),
+               "target": jax.device_put(jnp.asarray(targets), data_sh)}
+    pc_s = S.shard_pointcloud_attrs(mesh, {"uv2d": uv2d})
+    sharded = S.make_sharded_train_step(net, cfg, None, mesh)
+    s2, m_sharded = sharded(state_s, xyz_s, batch_s, pc_s)
+
+    assert abs(float(m_single["loss"]) - float(m_sharded["loss"])) < 1e-4
+    s2u = S.unshard_state(s2, n)
+    for a, b in zip(jax.tree.leaves(s1.texture),
+                    jax.tree.leaves(s2u.texture)):
+        # atol: RMSprop's rsqrt amplifies f32 reduction-order noise on
+        # near-zero second moments (observed max ~1.3e-3 on 0.02% of
+        # elements); the loss equality above pins the forward path
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3)
