@@ -76,6 +76,9 @@ class PipelineConfig:
     grad_clip: float = 1e3   # elementwise bound + NaN/inf guard
     use_mesh: bool = False   # MeshTexture sampled at uv2d (ogl.py:41-44)
     texture_size: int = 512  # mesh-texture resolution (per level /2^i)
+    # average each item's input pyramid with the previous item's
+    # (compose.py:167-171; batched shift-average, see _forward)
+    temporal_average: bool = False
     drop_points: float = 0.0  # per-step point dropout (dynamic.py:235-236)
     perturb_points: float = 0.0  # screen-space jitter, pixels
     # extra (non-neural) input modalities interleaved with the descriptor
@@ -202,6 +205,7 @@ def config_from_dict(d: dict, crop_size=None,
         masked_background=bool(d.get("masked_background", False)),
         use_mesh=bool(d.get("use_mesh", False)),
         texture_size=int(d.get("texture_size", 512) or 512),
+        temporal_average=bool(d.get("temporal_average", False)),
         num_classes=d.get("num_classes"),
         dtype=jnp.bfloat16 if d.get("dtype") == "bfloat16"
         else jnp.float32,
@@ -426,6 +430,16 @@ def _forward(net: UNet, cfg: PipelineConfig, params, batch_stats, texture,
                          point_sizes=point_sizes, faces=faces,
                          pointcloud=pointcloud, gt_label=gt_label,
                          view_m=view_m)
+    if cfg.temporal_average:
+        # reference semantics (``compose.py:167-171``): each item's
+        # input pyramid averages with the PREVIOUS item's (the torch
+        # build loops items sequentially, carrying ``last_input``).
+        # Batched equivalent: shift-average along the batch axis; the
+        # first row keeps itself (batch-boundary approximation of the
+        # carried state). Inference-side exact carry lives in
+        # ``render.NeuralRenderer.temporal_average``.
+        pyr = [(x + jnp.concatenate([x[:1], x[:-1]], 0)) * 0.5
+               for x in pyr]
     variables = {"params": params, "batch_stats": batch_stats}
     if train:
         out, mutated = net.apply(variables, *pyr, train=True,

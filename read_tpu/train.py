@@ -188,6 +188,10 @@ def build_argparser() -> argparse.ArgumentParser:
                         "point table (reference ogl.py:41-44)")
     p.add_argument("--texture-size", dest="texture_size", type=int,
                    default=512)
+    p.add_argument("--temporal-average", dest="temporal_average",
+                   action="store_true",
+                   help="average each item's input pyramid with the "
+                        "previous item's (compose.py:167-171)")
     return p
 
 

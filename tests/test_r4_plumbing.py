@@ -184,3 +184,45 @@ def test_vgg_ens_criterion(rng):
     singles = [float(V.vgg_loss(p, pred, tgt)) for p in params]
     assert abs(ens - np.mean(singles)) < 1e-3 * abs(ens)
     assert ens != singles[0]
+
+
+def test_temporal_average_shifts_input_pyramid(rng):
+    """--temporal-average (compose.py:167-171): item i's input pyramid
+    averages with item i-1's; row 0 keeps itself. Verified by feeding a
+    batch whose items come in identical pairs — with averaging, output
+    rows 2k+1 must equal a forward of the same view alone, and a batch
+    of DISTINCT views must change outputs vs no averaging."""
+    from read_tpu.scene import camera
+
+    n, h, w = 512, 32, 32
+    xyz = rng.uniform(-2, 2, size=(n, 3)).astype(np.float32)
+    xyz[:, 2] -= 6.0
+    K = np.array([[30.0, 0, w / 2], [0, 30.0, h / 2], [0, 0, 1]])
+    Pm = camera.gl_projection(K, (w, h), znear=0.1, zfar=50.0)
+    ms = []
+    for dx in (0.0, 0.0, 0.4, 0.4):  # two identical pairs
+        view = np.eye(4)
+        view[0, 3] = dx
+        ms.append(camera.total_matrix(Pm, view))
+    ms = jnp.asarray(np.stack(ms).astype(np.float32))
+
+    cfg = TP.config_from_dict({"temporal_average": True},
+                              crop_size=(h, w))
+    assert cfg.temporal_average
+    cfg_off = TP.config_from_dict({}, crop_size=(h, w))
+    state, net = TP.create_state(jax.random.PRNGKey(0), cfg,
+                                 n_points=n)
+
+    out_avg, _, _ = TP._forward(net, cfg, state.params,
+                                state.batch_stats, state.texture,
+                                jnp.asarray(xyz), ms, train=False)
+    out_off, _, _ = TP._forward(net, cfg_off, state.params,
+                                state.batch_stats, state.texture,
+                                jnp.asarray(xyz), ms, train=False)
+    a, b = np.asarray(out_avg["im_out"]), np.asarray(out_off["im_out"])
+    # identical-pair rows: averaging two equal pyramids is a no-op
+    np.testing.assert_allclose(a[1], b[1], atol=1e-5)
+    # row 0 keeps itself by construction
+    np.testing.assert_allclose(a[0], b[0], atol=1e-5)
+    # row 2 averages view B with view A -> must differ from plain B
+    assert np.abs(a[2] - b[2]).max() > 1e-4
