@@ -111,6 +111,11 @@ def main():
     import imageio.v2 as imageio
     import jax
     import jax.numpy as jnp
+    if os.environ.get("READ_TPU_PLATFORM"):
+        # the axon site hook pins JAX_PLATFORMS; this is the
+        # post-import override that actually takes effect
+        jax.config.update("jax_platforms",
+                          os.environ["READ_TPU_PLATFORM"])
 
     from read_tpu.ops import rasterize as R
     from read_tpu.ops import render_modes as RM

@@ -40,6 +40,11 @@ def main():
     import imageio.v2 as imageio
     import jax
     import jax.numpy as jnp
+    if os.environ.get("READ_TPU_PLATFORM"):
+        # the axon site hook pins JAX_PLATFORMS; this is the
+        # post-import override that actually takes effect
+        jax.config.update("jax_platforms",
+                          os.environ["READ_TPU_PLATFORM"])
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
