@@ -12,7 +12,12 @@ mkdir -p "$LOG"
 
 step() { echo "[q5] $(date +%H:%M:%S) $*"; }
 
-step "0/9 regenerate 10M-point scene on-TPU"
+step "0a/9 clean-window frame bench (the r5 fps number)"
+READ_TPU_BENCH_TRAIN=0 timeout 1800 python bench.py \
+    > "$LOG/bench_clean.json" 2>"$LOG/bench_clean.err"
+step "bench exit $?"
+
+step "0b/9 regenerate 10M-point scene on-TPU"
 timeout 3600 python -u scripts/make_demo_scene.py --out data/scene10m \
     --points 10000000 --views 60 > "$LOG/mkscene10m.log" 2>&1
 step "mkscene exit $?"
