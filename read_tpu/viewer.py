@@ -91,10 +91,17 @@ class ViewerApp:
         i = self._nearest(views, self.tb.view_matrix())
         labels = self.r.scene_data.get("camera_labels")
         label = labels[i] if labels else i
-        path = self.gt_pattern.replace("*", str(label))
-        if not os.path.exists(path):
-            print(f"{path} NOT FOUND!")
-            return path, None
+        # '*' substitutes the camera label; integer labels also try the
+        # dataset convention's zero-padded form ('{label:06d}.png')
+        cands = [self.gt_pattern.replace("*", str(label))]
+        try:
+            cands.append(self.gt_pattern.replace("*", f"{int(label):06d}"))
+        except (TypeError, ValueError):
+            pass
+        path = next((p for p in cands if os.path.exists(p)), None)
+        if path is None:
+            print(f"{cands[0]} NOT FOUND!")
+            return cands[0], None
         if path != self._last_gt_path:
             import imageio.v2 as imageio
             self._last_gt_path = path

@@ -168,3 +168,46 @@ def test_roundtrip_pallas_override(scene_dir, tmp_path):
     a = r_ref.infer(pose)
     b = r_pal.infer(pose)
     assert np.max(np.abs(a - b)) < 1e-3
+
+
+def test_viewer_offscreen_smoke(scene_dir, tmp_path, capsys):
+    """ViewerApp --offscreen: trajectory record+replay, mode cycling,
+    nearest-train lookup — the windowed cv2 path needs a display this
+    CI lacks (README "environment notes"), so the offscreen smoke is
+    the viewer's CI gate."""
+    from read_tpu import train as TR
+    from read_tpu import viewer as VW
+
+    save = tmp_path / "logs_viewer"
+    rc = TR.main([
+        "--paths-file", str(scene_dir / "paths.yaml"),
+        "--crop-size", "32x32", "--batch-size", "1", "--epochs", "1",
+        "--criterion", "huber_only", "--save-dir", str(save),
+        "--max-steps-per-epoch", "2", "--log-freq", "1",
+        "--headless-platform", "cpu", "--name", "vsmoke",
+    ])
+    assert rc == 0
+    exp = save / os.listdir(save)[0]
+    ckpt = exp / "checkpoints" / "best_toy"
+
+    # train.main's Tee rebinds sys.stdout to the experiment log, so
+    # drive the app object directly rather than asserting on prints
+    app = VW.ViewerApp(str(scene_dir / "scene.yaml"), str(ckpt),
+                       gt_pattern=str(scene_dir / "images" / "*.png"))
+    views = app.r.scene_data["view_matrix"]
+    for v in views[:3]:
+        app.tb.m = np.asarray(v, np.float64).copy()
+        app.handle_key("k")          # record trajectory keyframes
+    app.handle_key("r")              # replay
+    frames = [app.render() for _ in range(3)]
+    for f in frames:
+        assert f.shape[-1] == 3 and np.isfinite(f).all()
+    assert app.fps > 0 and len(app.trajectory) == 3
+    for k in "cvn":                  # mode cycling stays renderable
+        app.handle_key(k)
+        assert app.render() is not None
+    app.handle_key("+")              # live splat-size recompile
+    assert app.r.cfg.point_radius == 1
+    assert np.isfinite(app.render()).all()
+    path, gt = app.nearest_gt_image()
+    assert gt is not None and gt.shape[-1] in (3, 4), path
