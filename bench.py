@@ -94,6 +94,9 @@ def main():
     out = jfn(*args)
     np.asarray(out)  # force through the tunnel (block_until_ready can
     # return early on the axon platform)
+    for _ in range(3):  # post-compile warmup: the first dispatches of a
+        out = jfn(*args)  # cache-loaded executable run slow (measured
+    np.asarray(out[0, 0, 0])  # 22.1 vs 26.3 fps same-window, r5 probe)
 
     n_iters = 20
     t0 = time.perf_counter()
